@@ -1,0 +1,94 @@
+"""Forward/inverse transform pipelines (color + DWT + quantization).
+
+Two interchangeable backends:
+  * 'numpy' — float64 host reference (always available, trusted).
+  * 'jax'   — jitted TPU pipeline (spiht_tpu.wavelets.dwt), the default when
+              JAX is importable; used for batched/sharded encoding.
+
+Both produce the packed coefficient-array layout of SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .color import models as color_models
+from .ops.quantize import quantize, dequantize
+from .settings import SpihtSettings
+from .wavelets import ref_dwt
+from .wavelets.geometry import get_slices_and_h_w
+
+__all__ = ["forward_numpy", "inverse_numpy", "forward", "inverse", "get_backend"]
+
+_BACKEND = os.environ.get("SPIHT_TPU_TRANSFORM", "auto")
+
+
+def get_backend() -> str:
+    if _BACKEND in ("numpy", "jax"):
+        return _BACKEND
+    try:
+        from . import jax_transform  # noqa: F401
+
+        return "jax"
+    except Exception:
+        return "numpy"
+
+
+def forward_numpy(
+    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+) -> Tuple[np.ndarray, int, int]:
+    """image (C,H,W) float -> (quantized i32 packed coeff array, ll_h, ll_w)."""
+    if settings.color_model is not None:
+        image = color_models.convert(image, "RGB", settings.color_model)
+    coeffs = ref_dwt.wavedec2(
+        image, settings.wavelet, mode=settings.mode, level=level, axes=(-2, -1)
+    )
+    ll_h, ll_w = coeffs[0].shape[1], coeffs[0].shape[2]
+    arr, _ = ref_dwt.coeffs_to_array(coeffs, axes=(-2, -1))
+    if settings.per_channel_quant_scales is not None:
+        mults = np.array(settings.per_channel_quant_scales, dtype=np.float64)
+        arr = mults[:, None, None] * arr
+    arr = quantize(arr, settings.quantization_scale)
+    return arr, ll_h, ll_w
+
+
+def inverse_numpy(
+    rec_arr: np.ndarray,
+    h: int,
+    w: int,
+    level: Optional[int],
+    settings: SpihtSettings,
+    slices=None,
+) -> np.ndarray:
+    """Packed i32 array -> reconstructed (C,H,W) float image."""
+    if slices is None:
+        slices, _, _ = get_slices_and_h_w(h, w, settings, level)
+    rec = np.asarray(rec_arr, dtype=np.float64)
+    if settings.per_channel_quant_scales is not None:
+        mults = np.array(settings.per_channel_quant_scales, dtype=np.float64)
+        rec = rec / mults[:, None, None]
+    rec = dequantize(rec, settings.quantization_scale)
+    coeffs = ref_dwt.array_to_coeffs(rec, slices)
+    image = ref_dwt.waverec2(coeffs, settings.wavelet, mode=settings.mode)
+    if settings.color_model is not None:
+        image = color_models.convert(image, settings.color_model, "RGB")
+    return image
+
+
+def forward(image, settings: SpihtSettings, level: Optional[int]):
+    if get_backend() == "jax":
+        from . import jax_transform
+
+        return jax_transform.forward(image, settings, level)
+    return forward_numpy(image, settings, level)
+
+
+def inverse(rec_arr, h, w, level, settings: SpihtSettings, slices=None):
+    if get_backend() == "jax":
+        from . import jax_transform
+
+        return jax_transform.inverse(rec_arr, h, w, level, settings, slices)
+    return inverse_numpy(rec_arr, h, w, level, settings, slices)

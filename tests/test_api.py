@@ -1,0 +1,150 @@
+"""High-level API tests (encode_image/decode_image, reference CS1/CS2)."""
+
+import numpy as np
+import pytest
+
+import spiht_tpu
+from spiht_tpu import EncodingResult, SpihtSettings, encode_image, decode_image
+from spiht_tpu.transform import forward_numpy
+
+
+def _psnr(a, b):
+    mse = float(((a - b) ** 2).mean())
+    return 10 * np.log10(1.0 / mse) if mse > 0 else np.inf
+
+
+@pytest.fixture(scope="module")
+def image(request):
+    rng = np.random.default_rng(7)
+    # smooth random field: sum of low-frequency cosines + mild noise
+    h, w = 96, 80
+    yy, xx = np.mgrid[0:h, 0:w]
+    im = np.zeros((3, h, w))
+    for k in range(3):
+        im[k] = (
+            0.5
+            + 0.2 * np.cos(2 * np.pi * (xx / (20 + 5 * k)))
+            + 0.2 * np.sin(2 * np.pi * (yy / (30 + 3 * k)))
+        )
+    im += rng.normal(0, 0.01, size=im.shape)
+    return np.clip(im, 0, 1)
+
+
+def test_full_stream_coeff_exact_on_coverage(image):
+    """Full-stream decode reproduces every tree-covered coefficient exactly.
+
+    Border cells outside the spatial-orientation tree's reach are not coded —
+    a geometry artifact the reference shares (test_rust.py:52-55). The
+    contract is exactness on the coverage mask and zeros off it.
+    """
+    from spiht_tpu.codec.oracle import coverage_mask
+    from spiht_tpu.wavelets.geometry import get_slices_and_h_w
+
+    s = SpihtSettings()
+    enc = encode_image(image, s)
+    d = spiht_tpu.decode_rec_array(enc, s)
+    arr, ll_h, ll_w = forward_numpy(image, s, None)
+    rec = d["rec_arr"]
+    _, enc_h, enc_w = get_slices_and_h_w(enc.h, enc.w, s, enc.level)
+    mask = coverage_mask(enc_h, enc_w, ll_h, ll_w)
+    assert np.array_equal(arr[:, mask], rec[:, mask])
+    assert (rec[:, ~mask] == 0).all()
+
+
+def test_full_stream_coeff_exact_dyadic(rng):
+    """On fully-dyadic geometry the round trip is exact everywhere
+    (mirrors the reference Rust tests, encoder_decoder.rs:911-985)."""
+    from spiht_tpu.codec import oracle
+
+    arr = rng.normal(0, 16, size=(2, 32, 32)).astype(np.int32)
+    bits, max_n = oracle.encode_bits(arr, 2, 2, 10_000_000)
+    rec = oracle.decode_bits(bits, max_n, 2, 32, 32, 2, 2)
+    assert np.array_equal(arr, rec)
+
+
+def test_encode_decode_quality(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, max_bits=int(1.0 * 96 * 80))
+    rec = decode_image(enc, s)[..., :96, :80]
+    assert _psnr(rec, image) > 30
+
+
+def test_progressive_truncation(image):
+    """Byte-prefix decoding (embedded stream, reference make_gif.py:46-55)."""
+    s = SpihtSettings()
+    enc = encode_image(image, s)
+    full = enc.encoded_bytes
+    prev = None
+    for frac in [0.02, 0.1, 0.4, 1.0]:
+        nb = max(1, int(len(full) * frac))
+        enc_t = EncodingResult(full[:nb], enc.h, enc.w, enc.c, enc.max_n, enc.level)
+        rec = decode_image(enc_t, s)[..., :96, :80]
+        p = _psnr(rec, image)
+        if prev is not None:
+            assert p >= prev - 0.1
+        prev = p
+    assert prev > 35
+
+
+def test_ipt_settings(image):
+    s = SpihtSettings(
+        quantization_scale=1, color_model="ipt", per_channel_quant_scales=[100, 20, 20]
+    )
+    enc = encode_image(image, s, max_bits=int(1.0 * 96 * 80))
+    rec = decode_image(enc, s)[..., :96, :80]
+    assert _psnr(rec, image) > 28
+
+
+def test_level_explicit(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, level=2, max_bits=20000)
+    assert enc.level == 2
+    rec = decode_image(enc, s)
+    assert rec.shape[0] == 3
+
+
+def test_metadata_equivalence(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, max_bits=12000)
+    rec_plain = decode_image(enc, s)
+    rec_meta, meta = decode_image(enc, s, return_metadata=True)
+    assert np.allclose(rec_plain, rec_meta)
+    assert meta.shape[1] == 8
+    assert meta.shape[0] == 12000 + 1
+
+
+def test_encoding_result_dict_roundtrip(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, max_bits=5000)
+    d = enc.to_dict()
+    assert all(k.startswith("encoding_result_") for k in d)
+    back = EncodingResult.from_dict(d)
+    assert back == enc
+
+
+def test_version_check(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, max_bits=5000)
+    enc._encoding_version = "9.9.9"
+    with pytest.raises(ValueError):
+        decode_image(enc, s)
+
+
+def test_rejects_2d():
+    with pytest.raises(ValueError):
+        encode_image(np.zeros((8, 8)))
+
+
+def test_grayscale(image):
+    g = image[:1]
+    s = SpihtSettings()
+    enc = encode_image(g, s, max_bits=int(1.5 * 96 * 80))
+    rec = decode_image(enc, s)[..., :96, :80]
+    assert rec.shape[0] == 1
+    assert _psnr(rec, g) > 30
+
+
+def test_max_bits_byte_budget(image):
+    s = SpihtSettings()
+    enc = encode_image(image, s, max_bits=8000)
+    assert len(enc.encoded_bytes) == 1000
