@@ -1,0 +1,143 @@
+"""Headline benchmark: batched SPIHT encode throughput (megapixels/s).
+
+Measures the full TPU-native encode pipeline — device-side jitted analysis
+(IPT-free RGB, bior2.2/reflect 6-level DWT, quantization, significance
+pyramids) + native multithreaded bit scheduling — against a single-core
+reference-architecture baseline (float64 host DWT + recursive zerotree
+encoder, the same algorithmic shape as the reference's Rust core at
+src/encoder_decoder.rs:155-303 driving pywt, measured on this machine; see
+BASELINE.md).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BATCH = 8
+H = W = 512
+C = 3
+BPP = 1.0
+LEVEL = 6
+REPS = 4
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_images(batch: int) -> np.ndarray:
+    """Deterministic natural-ish test images: smooth field + edges + noise."""
+    rng = np.random.default_rng(1234)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    base = 0.5 + 0.25 * np.sin(xx / 37.0) * np.cos(yy / 53.0)
+    images = []
+    for b in range(batch):
+        im = np.stack(
+            [
+                base * (0.6 + 0.4 * np.sin(0.7 * c + b)) for c in range(C)
+            ]
+        )
+        im += 0.15 * (xx[None] / W > ((b % 4) + 1) / 5.0)
+        im += 0.05 * rng.standard_normal((C, H, W))
+        images.append(np.clip(im, 0.0, 1.0))
+    return np.stack(images)
+
+
+def main() -> None:
+    from spiht_tpu import SpihtSettings
+    from spiht_tpu import transform
+    from spiht_tpu.native import runtime
+
+    settings = SpihtSettings(
+        wavelet="bior2.2", mode="reflect", quantization_scale=50.0
+    )
+    max_bits = int(round(BPP * H * W))
+    images = make_images(BATCH)
+    nat = runtime.load()
+    if nat is None:
+        log("FATAL: native kernel unavailable")
+        print(json.dumps({"metric": "encode_mpps", "value": 0.0,
+                          "unit": "MP/s", "vs_baseline": 0.0}))
+        return
+
+    # ---- baseline: reference-architecture single core -------------------
+    # float64 host DWT (pywt-equivalent numpy path) + recursive zerotree
+    # encoder (use_maps=0), one image at a time, one thread.
+    log("baseline: single-core recursive encoder + f64 host DWT ...")
+    t0 = time.perf_counter()
+    base_reps = 2
+    for r in range(base_reps):
+        arr, ll_h, ll_w = transform.forward_numpy(images[0], settings, LEVEL)
+        nat.encode(arr, ll_h, ll_w, max_bits, use_maps=False)
+    t_base = (time.perf_counter() - t0) / base_reps
+    base_mpps = H * W * 1e-6 / t_base
+    log(f"baseline: {t_base*1e3:.1f} ms/image = {base_mpps:.2f} MP/s")
+
+    # ---- ours: framework batched pipeline -------------------------------
+    # The runtime picks the best pipeline for the host. Two are measured:
+    #  * native: multithreaded C++ f64 DWT + map-driven scheduling (host
+    #    production path — always available)
+    #  * jax/TPU: device-side analysis + native scheduling (wins on real
+    #    TPU hosts; on tunneled dev chips d2h bandwidth (~20 MB/s measured)
+    #    caps it, see BASELINE.md)
+    from spiht_tpu import codec
+
+    def run_once():
+        return codec.api.encode_images(
+            list(images), settings, level=LEVEL, max_bits=max_bits
+        )
+
+    def measure(tag, reps=REPS, budget_s=None):
+        t0 = time.perf_counter()
+        results = run_once()
+        warm = time.perf_counter() - t0
+        log(f"{tag} warmup: {warm:.1f}s; "
+            f"stream sizes: {[len(r.encoded_bytes) for r in results[:3]]}")
+        if budget_s is not None and warm > budget_s:
+            # compile/transfer dominated (tunneled chip) — report the single
+            # warm run rather than burning the driver's time budget
+            mpps = BATCH * H * W * 1e-6 / warm
+            log(f"{tag}: over budget, using warmup rate = {mpps:.2f} MP/s")
+            return mpps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_once()
+        dt = time.perf_counter() - t0
+        mpps = reps * BATCH * H * W * 1e-6 / dt
+        log(f"{tag}: {dt/reps*1e3:.1f} ms/batch = {mpps:.2f} MP/s")
+        return mpps
+
+    transform._BACKEND = "native"
+    native_mpps = measure("native pipeline")
+
+    jax_mpps = 0.0
+    if os.environ.get("SPIHT_BENCH_SKIP_JAX") != "1":
+        try:
+            import jax
+
+            log(f"jax devices: {jax.devices()}")
+            transform._BACKEND = "jax"
+            jax_mpps = measure("jax/TPU pipeline", reps=1, budget_s=150)
+        except Exception as e:
+            log(f"jax pipeline unavailable: {type(e).__name__}: {e}")
+
+    mpps = max(native_mpps, jax_mpps)
+    print(json.dumps({
+        "metric": "encode_mpps",
+        "value": round(mpps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mpps / base_mpps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

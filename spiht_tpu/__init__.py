@@ -25,6 +25,8 @@ from .codec.api import (
     decode_with_metadata,
     encode,
     encode_image,
+    encode_images,
+    decode_images,
     get_slices_and_h_w,
 )
 
@@ -37,6 +39,8 @@ __all__ = [
     "decode_with_metadata",
     "encode_image",
     "decode_image",
+    "encode_images",
+    "decode_images",
     "decode_rec_array",
     "decode_from_rec_arr",
     "get_slices_and_h_w",

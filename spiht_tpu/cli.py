@@ -1,0 +1,160 @@
+"""Command-line tools: encode/decode one image, progressive-decode GIF.
+
+Feature parity with the reference scripts (encode_decode.py:17-91 CLI and
+make_gif.py:43-97 progressive decode), re-built on the TPU pipeline:
+
+  python -m spiht_tpu.cli encode-decode IMAGE [--bpp B] [--level L] ...
+  python -m spiht_tpu.cli progressive IMAGE OUT.gif [--frames N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import numpy as np
+
+from . import codec
+from .settings import SpihtSettings
+from .utils import imload, imsave
+
+
+def _settings_from_args(args) -> SpihtSettings:
+    pcs = None
+    if args.per_channel_quant_scales:
+        pcs = [float(v) for v in args.per_channel_quant_scales.split(",")]
+    return SpihtSettings(
+        wavelet=args.wavelet,
+        quantization_scale=args.quantization_scale,
+        mode=args.mode,
+        color_model=args.color_model,
+        per_channel_quant_scales=pcs,
+    )
+
+
+def _auto_level(h: int, w: int) -> int:
+    """Reference auto-level: floor(min(log2(h/8), log2(w/8)))
+    (encode_decode.py:33-38)."""
+    return int(math.floor(min(math.log2(h / 8), math.log2(w / 8))))
+
+
+def _add_codec_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--wavelet", default="bior2.2")
+    p.add_argument("--quantization-scale", type=float, default=50.0)
+    p.add_argument("--mode", default="reflect")
+    p.add_argument("--color-model", default=None)
+    p.add_argument(
+        "--per-channel-quant-scales",
+        default=None,
+        help="comma-separated, e.g. '100,20,20'",
+    )
+    p.add_argument("--level", type=int, default=None)
+    p.add_argument("--bpp", type=float, default=1.0)
+
+
+def cmd_encode_decode(args) -> int:
+    if args.bpp <= 0:
+        print("error: --bpp must be > 0", file=sys.stderr)
+        return 2
+    image = imload(args.image)
+    c, h, w = image.shape
+    settings = _settings_from_args(args)
+    level = args.level if args.level is not None else _auto_level(h, w)
+    max_bits = round(args.bpp * h * w)
+
+    t0 = time.perf_counter()
+    er = codec.api.encode_image(image, settings, level=level, max_bits=max_bits)
+    t_enc = time.perf_counter() - t0
+    nbytes = len(er.encoded_bytes)
+    print(f"encoded {c}x{h}x{w} at level={level}: {nbytes} bytes "
+          f"({nbytes*8/(h*w):.4f} bpp) in {t_enc*1e3:.1f} ms")
+
+    slices, enc_h, enc_w = codec.api.get_slices_and_h_w(h, w, settings, level)
+    print(f"coeff array {enc_h}x{enc_w}, ll "
+          f"{slices[0][1].stop}x{slices[0][2].stop}, max_n={er.max_n}")
+
+    t0 = time.perf_counter()
+    rec = codec.api.decode_image(er, settings)
+    t_dec = time.perf_counter() - t0
+    rec_c = rec[..., :h, :w]
+    mean_l2 = float(np.mean((rec_c - image) ** 2))
+    mse = np.mean((np.clip(rec_c, 0, 1) - image) ** 2)
+    psnr = 10 * math.log10(1.0 / mse) if mse > 0 else float("inf")
+    print(f"decoded in {t_dec*1e3:.1f} ms; mean L2 {mean_l2:.3e}; "
+          f"PSNR {psnr:.2f} dB")
+
+    if args.out:
+        imsave(args.out, rec_c)
+        print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_progressive(args) -> int:
+    """Decode byte-stream PREFIXES at increasing bpp — the embedded-stream
+    property (reference make_gif.py:46-55) — and write an animated GIF."""
+    from PIL import Image
+
+    if args.bpp <= 0:
+        print("error: --bpp must be > 0", file=sys.stderr)
+        return 2
+    image = imload(args.image)
+    c, h, w = image.shape
+    settings = _settings_from_args(args)
+    level = args.level if args.level is not None else _auto_level(h, w)
+
+    er = codec.api.encode_image(
+        image, settings, level=level, max_bits=round(args.bpp * h * w)
+    )
+    total_bytes = len(er.encoded_bytes)
+    frames = []
+    for f in range(1, args.frames + 1):
+        nb = max(1, round(total_bytes * f / args.frames))
+        partial = er.__class__(
+            er.encoded_bytes[:nb], er.h, er.w, er.c, er.max_n, er.level
+        )
+        rec = codec.api.decode_image(partial, settings)[..., :h, :w]
+        arr = (np.clip(rec, 0, 1) * 255).astype(np.uint8)
+        frames.append(
+            Image.fromarray(
+                np.moveaxis(arr, 0, -1) if c > 1 else arr[0]
+            )
+        )
+        print(f"frame {f}/{args.frames}: {nb} bytes "
+              f"({nb*8/(h*w):.4f} bpp)", file=sys.stderr)
+    frames[0].save(
+        args.out,
+        save_all=True,
+        append_images=frames[1:],
+        duration=args.duration,
+        loop=0,
+    )
+    print(f"wrote {args.out} ({len(frames)} frames)")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="spiht-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("encode-decode", help="round-trip one image")
+    p1.add_argument("image")
+    p1.add_argument("--out", default=None, help="save reconstruction here")
+    _add_codec_args(p1)
+    p1.set_defaults(fn=cmd_encode_decode)
+
+    p2 = sub.add_parser("progressive", help="progressive-decode GIF")
+    p2.add_argument("image")
+    p2.add_argument("out")
+    p2.add_argument("--frames", type=int, default=24)
+    p2.add_argument("--duration", type=int, default=120, help="ms per frame")
+    _add_codec_args(p2)
+    p2.set_defaults(fn=cmd_progressive)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,6 +25,8 @@ __all__ = [
     "decode_with_metadata",
     "encode_image",
     "decode_image",
+    "encode_images",
+    "decode_images",
     "decode_rec_array",
     "decode_from_rec_arr",
     "get_slices_and_h_w",
@@ -111,6 +113,156 @@ def encode_image(
 
     encoded_bytes, max_n = encode(arr, ll_h, ll_w, max_bits)
     return EncodingResult(encoded_bytes, h, w, c, int(max_n), level)
+
+
+def encode_images(
+    images,
+    spiht_settings: SpihtSettings = SpihtSettings(),
+    level: Optional[int] = None,
+    max_bits=None,
+):
+    """Batched encode: list of (C,H,W) float images -> list of EncodingResult.
+
+    The TPU-first throughput path: images are grouped by shape, each group's
+    transform + significance maps run as ONE jitted XLA program on device,
+    and the serial bit scheduling for ALL images runs concurrently in native
+    threads consuming those maps. Mixed resolutions are fine (they form
+    separate jit groups).
+
+    ``max_bits``: None, a scalar applied to all, or a per-image sequence.
+    """
+    images = [np.asarray(im) for im in images]
+    n = len(images)
+    if max_bits is None:
+        mb = [_MAX_BITS_DEFAULT] * n
+    elif np.isscalar(max_bits):
+        mb = [int(max_bits)] * n
+    else:
+        mb = [int(v) if v is not None else _MAX_BITS_DEFAULT for v in max_bits]
+    if len(mb) != n:
+        raise ValueError("max_bits sequence length != number of images")
+    for im in images:
+        if im.ndim != 3:
+            raise ValueError("each image must be (c, h, w)")
+
+    nat = _native()
+
+    # group by shape for batched device transforms
+    groups = {}
+    for idx, im in enumerate(images):
+        groups.setdefault(im.shape, []).append(idx)
+
+    arrs = [None] * n
+    lls = [None] * n
+    backend = transform.get_backend()
+    if backend == "jax":
+        from .. import jax_transform
+
+        # int16-compacted transfer; significance maps are recomputed by the
+        # native kernel in O(N) (cheaper than shipping them over d2h).
+        for shape, idxs in groups.items():
+            batch = np.stack([images[i] for i in idxs])
+            arr, ll_h, ll_w = jax_transform.forward_compact(
+                batch, spiht_settings, level
+            )
+            for bi, i in enumerate(idxs):
+                arrs[i] = arr[bi]
+                lls[i] = (ll_h, ll_w)
+    elif backend == "native" and nat is not None:
+        # host production path: f64 C++ DWT per image across a thread pool
+        # (the ctypes calls release the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fwd(i):
+            return i, transform.forward_native(images[i], spiht_settings, level)
+
+        with ThreadPoolExecutor() as pool:
+            for i, (arr, ll_h, ll_w) in pool.map(fwd, range(n)):
+                arrs[i] = arr
+                lls[i] = (ll_h, ll_w)
+    else:
+        for i, im in enumerate(images):
+            arr, ll_h, ll_w = transform.forward(im, spiht_settings, level)
+            arrs[i] = arr
+            lls[i] = (ll_h, ll_w)
+
+    results = [None] * n
+    if nat is not None:
+        encoded = nat.encode_batch(
+            arrs,
+            [ll[0] for ll in lls],
+            [ll[1] for ll in lls],
+            mb,
+            use_maps=True,
+        )
+        for i, (data, max_n) in enumerate(encoded):
+            c, h, w = images[i].shape
+            results[i] = EncodingResult(data, h, w, c, int(max_n), level)
+    else:
+        for i in range(n):
+            bits, max_n = oracle.encode_bits(arrs[i], lls[i][0], lls[i][1], mb[i])
+            c, h, w = images[i].shape
+            results[i] = EncodingResult(
+                bits_to_bytes(bits), h, w, c, int(max_n), level
+            )
+    return results
+
+
+def decode_images(encoding_results, spiht_settings: SpihtSettings):
+    """Batched decode: list of EncodingResult -> list of (C,H,W) float images.
+
+    Streams are decoded concurrently in native threads; the inverse
+    transforms run as one jitted program per (enc shape, level) group.
+    """
+    n = len(encoding_results)
+    geo = []
+    for er in encoding_results:
+        if er._encoding_version != ENCODER_DECODER_VERSION:
+            raise ValueError(er._encoding_version)
+        slices, enc_h, enc_w = get_slices_and_h_w(
+            er.h, er.w, spiht_settings, er.level
+        )
+        geo.append((slices, enc_h, enc_w, slices[0][1].stop, slices[0][2].stop))
+
+    nat = _native()
+    if nat is not None:
+        recs = nat.decode_batch(
+            [er.encoded_bytes for er in encoding_results],
+            [er.max_n for er in encoding_results],
+            [er.c for er in encoding_results],
+            [g[1] for g in geo],
+            [g[2] for g in geo],
+            [g[3] for g in geo],
+            [g[4] for g in geo],
+        )
+    else:
+        recs = [
+            oracle.decode_bits(
+                bytes_to_bits(er.encoded_bytes), er.max_n, er.c, g[1], g[2],
+                g[3], g[4],
+            )
+            for er, g in zip(encoding_results, geo)
+        ]
+
+    images = [None] * n
+    # group same-geometry results for one batched inverse transform each
+    groups = {}
+    for i, (er, g) in enumerate(zip(encoding_results, geo)):
+        key = (recs[i].shape, er.h, er.w, er.level)
+        groups.setdefault(key, []).append(i)
+    if transform.get_backend() == "jax":
+        for (shape, h, w, level), idxs in groups.items():
+            batch = np.stack([recs[i] for i in idxs])
+            out = transform.inverse(batch, h, w, level, spiht_settings)
+            for bi, i in enumerate(idxs):
+                images[i] = np.asarray(out[bi])
+    else:
+        # the numpy reference inverse is single-image (slice indexing)
+        for i, er in enumerate(encoding_results):
+            images[i] = transform.inverse(
+                recs[i], er.h, er.w, er.level, spiht_settings
+            )
+    return images
 
 
 def decode_rec_array(

@@ -1,0 +1,115 @@
+"""JAX color model conversions (device-resident, jittable).
+
+Mirrors ``spiht_tpu.color.models`` (the trusted numpy host implementations,
+themselves covering the reference's colour-science usage at
+spiht/color_models.py:6-13). Operates channels-FIRST over (..., C, H, W)
+so batches ride along; the 3x3 matrix products contract over the channel
+axis via einsum (MXU-friendly for large spatial extents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import models as _nm
+
+__all__ = ["convert", "SUPPORTED_MODELS"]
+
+SUPPORTED_MODELS = _nm.SUPPORTED_MODELS
+
+
+def _apply_mat(im, M):
+    # im: (..., C, H, W); M: (3, 3) numpy constant. Precision HIGHEST: TPU
+    # einsum otherwise drops to bf16 passes, perturbing quantization.
+    return jnp.einsum(
+        "oc,...chw->...ohw",
+        jnp.asarray(M, dtype=im.dtype),
+        im,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _signed_pow(x, p):
+    return jnp.sign(x) * jnp.abs(x) ** p
+
+
+def _ipt_from_rgb(im):
+    xyz = _apply_mat(im, _nm.RGB_TO_XYZ)
+    lms = _apply_mat(xyz, _nm.XYZ_TO_LMS_IPT)
+    return _apply_mat(_signed_pow(lms, _nm.IPT_EXP), _nm.LMS_TO_IPT)
+
+
+def _rgb_from_ipt(im):
+    lms_p = _apply_mat(im, _nm.LMS_FROM_IPT)
+    lms = _signed_pow(lms_p, 1.0 / _nm.IPT_EXP)
+    return _apply_mat(_apply_mat(lms, _nm.XYZ_FROM_LMS_IPT), _nm.XYZ_TO_RGB)
+
+
+def _lab_f(t, dtype):
+    d = 6.0 / 29.0
+    return jnp.where(t > d**3, jnp.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+
+
+def _lab_finv(t):
+    d = 6.0 / 29.0
+    return jnp.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+
+
+def _lab_from_rgb(im):
+    xyz = _apply_mat(im, _nm.RGB_TO_XYZ)
+    white = jnp.asarray(_nm.D65_WHITE, dtype=im.dtype)
+    xr = xyz / white[..., :, None, None]
+    f = _lab_f(xr, im.dtype)
+    fx, fy, fz = f[..., 0, :, :], f[..., 1, :, :], f[..., 2, :, :]
+    return jnp.stack(
+        [116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)], axis=-3
+    )
+
+
+def _rgb_from_lab(im):
+    L, a, b = im[..., 0, :, :], im[..., 1, :, :], im[..., 2, :, :]
+    fy = (L + 16) / 116
+    fx = fy + a / 500
+    fz = fy - b / 200
+    xyz = jnp.stack([_lab_finv(fx), _lab_finv(fy), _lab_finv(fz)], axis=-3)
+    white = jnp.asarray(_nm.D65_WHITE, dtype=im.dtype)
+    return _apply_mat(xyz * white[..., :, None, None], _nm.XYZ_TO_RGB)
+
+
+_FORWARD = {
+    "ipt": _ipt_from_rgb,
+    "cie xyz": lambda x: _apply_mat(x, _nm.RGB_TO_XYZ),
+    "xyz": lambda x: _apply_mat(x, _nm.RGB_TO_XYZ),
+    "cie lab": _lab_from_rgb,
+    "lab": _lab_from_rgb,
+    "ycbcr": lambda x: _apply_mat(x, _nm.RGB_TO_YCBCR),
+    "rgb": lambda x: x,
+}
+_INVERSE = {
+    "ipt": _rgb_from_ipt,
+    "cie xyz": lambda x: _apply_mat(x, _nm.XYZ_TO_RGB),
+    "xyz": lambda x: _apply_mat(x, _nm.XYZ_TO_RGB),
+    "cie lab": _rgb_from_lab,
+    "lab": _rgb_from_lab,
+    "ycbcr": lambda x: _apply_mat(x, _nm.YCBCR_TO_RGB),
+    "rgb": lambda x: x,
+}
+
+
+def convert(im: jnp.ndarray, src: str, dest: str) -> jnp.ndarray:
+    """Convert a (..., C, H, W) image between color models (jittable)."""
+    src_l, dest_l = src.lower(), dest.lower()
+    for m in (src_l, dest_l):
+        if m not in SUPPORTED_MODELS:
+            raise ValueError(
+                f"{m!r} is not a supported color model. "
+                f"Supported models are {sorted(SUPPORTED_MODELS)}"
+            )
+    if src_l == "rgb":
+        return _FORWARD[dest_l](im)
+    if dest_l == "rgb":
+        return _INVERSE[src_l](im)
+    return _FORWARD[dest_l](_INVERSE[src_l](im))

@@ -1,0 +1,247 @@
+"""Jitted JAX transform pipelines (color + DWT + quantization + maps).
+
+This is the device-resident half of the codec: everything up to (and
+including) the significance level maps runs as one compiled XLA program;
+only the serial bit scheduling leaves the device (to the C++ kernel).
+
+Compiled callables are cached per (settings, level, shape, dtype) — reuse
+with same-shaped batches hits the jit cache. All functions accept leading
+batch dims: (C, H, W) or (B, C, H, W).
+
+Reference pipeline being re-architected: spiht/spiht_wrapper.py:142-189
+(encode: color -> wavedec2 -> coeffs_to_array -> scales -> quantize) and
+:259-281 (decode: dequantize -> array_to_coeffs -> waverec2 -> color).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .color import jax_models
+from .settings import SpihtSettings
+from .wavelets import dwt
+from .wavelets.geometry import get_slices_and_h_w
+from .codec import maps as _maps
+
+__all__ = [
+    "forward",
+    "forward_with_maps",
+    "forward_compact",
+    "inverse",
+    "analysis_fn",
+    "synthesis_fn",
+    "default_dtype",
+]
+
+
+def default_dtype() -> jnp.dtype:
+    """float64 when x64 is enabled (exactness vs the f64 reference),
+    float32 otherwise (TPU-native)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _settings_key(s: SpihtSettings) -> Tuple:
+    pcs = s.per_channel_quant_scales
+    return (
+        s.wavelet,
+        float(s.quantization_scale),
+        s.mode,
+        s.color_model,
+        tuple(float(v) for v in pcs) if pcs is not None else None,
+    )
+
+
+@lru_cache(maxsize=None)
+def _forward_jit(key: Tuple, level: Optional[int], with_maps: bool, dtype_name: str):
+    wavelet, qscale, mode, color_model, pcs = key
+    dtype = jnp.dtype(dtype_name)
+
+    def f(image):
+        image = image.astype(dtype)
+        if color_model is not None:
+            image = jax_models.convert(image, "RGB", color_model)
+        arr, ll_h, ll_w = dwt.wavedec2_packed(image, wavelet, mode, level)
+        if pcs is not None:
+            mults = jnp.asarray(pcs, dtype=dtype)[..., :, None, None]
+            arr = arr * mults
+        # truncate-toward-zero int cast (hazard #1): XLA convert semantics
+        arr = (arr * jnp.asarray(qscale, dtype=dtype)).astype(jnp.int32)
+        if with_maps:
+            m, d, g = _maps.significance_maps(arr, ll_h, ll_w)
+            return arr, m, d, g
+        return arr
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _forward_compact_jit(key: Tuple, level: Optional[int], dtype_name: str):
+    """Like _forward_jit(with_maps=False) but emits an int16-compacted
+    coefficient array plus an overflow flag.
+
+    Rationale: on tunneled single-chip setups device->host bandwidth is the
+    pipeline bottleneck (measured ~20 MB/s vs ~2 GB/s host->device here);
+    quantized coefficients at practical quality settings fit int16, halving
+    the transfer. The (rare) overflow case is detected on device and the
+    caller falls back to the full int32 path.
+    """
+    base = _forward_jit(key, level, False, dtype_name)
+
+    def f(image):
+        arr = base.__wrapped__(image)
+        overflow = (jnp.abs(arr) > 32767).any()
+        arr16 = jnp.clip(arr, -32767, 32767).astype(jnp.int16)
+        return arr16, overflow
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _inverse_jit(
+    key: Tuple, h: int, w: int, level: Optional[int], dtype_name: str
+):
+    wavelet, qscale, mode, color_model, pcs = key
+    dtype = jnp.dtype(dtype_name)
+    settings = SpihtSettings(
+        wavelet=wavelet,
+        quantization_scale=qscale,
+        mode=mode,
+        color_model=color_model,
+        per_channel_quant_scales=list(pcs) if pcs is not None else None,
+    )
+    slices, _, _ = get_slices_and_h_w(h, w, settings, level)
+
+    def f(rec_arr):
+        rec = rec_arr.astype(dtype)
+        if pcs is not None:
+            mults = jnp.asarray(pcs, dtype=dtype)[..., :, None, None]
+            rec = rec / mults
+        rec = rec / jnp.asarray(qscale, dtype=dtype)
+        lead = rec.ndim - 3
+        coeffs = [rec[(...,) + slices[0][1:]]]
+        for d in slices[1:]:
+            coeffs.append({k: rec[(...,) + v[1:]] for k, v in d.items()})
+        # NOTE: no crop to (h, w) — the reference returns waverec2's output
+        # as-is, which can exceed the original dims for odd-sized images
+        # (spiht/spiht_wrapper.py:276-281).
+        image = dwt.waverec2(coeffs, wavelet, mode)
+        if color_model is not None:
+            image = jax_models.convert(image, color_model, "RGB")
+        return image
+
+    return jax.jit(f)
+
+
+def analysis_fn(
+    settings: SpihtSettings,
+    level: Optional[int] = None,
+    with_maps: bool = True,
+    dtype: Optional[str] = None,
+):
+    """The jitted device-side encode step: image(s) -> (arr_i32[, M, D, G]).
+
+    This is the flagship compiled program: color conversion, multilevel
+    DWT, per-channel scaling, quantization, and the descendant-max
+    significance pyramids, fused into one XLA executable.
+    """
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _forward_jit(
+        _settings_key(settings), level, with_maps, str(np.dtype(dtype).name)
+    )
+
+
+def synthesis_fn(
+    settings: SpihtSettings,
+    h: int,
+    w: int,
+    level: Optional[int] = None,
+    dtype: Optional[str] = None,
+):
+    """The jitted device-side decode step: rec_arr i32 -> image(s)."""
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _inverse_jit(
+        _settings_key(settings), h, w, level, str(np.dtype(dtype).name)
+    )
+
+
+def forward(
+    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+) -> Tuple[np.ndarray, int, int]:
+    """Host-facing forward transform: (C,H,W) float -> (i32 arr, ll_h, ll_w)."""
+    image = np.asarray(image)
+    slices, _, _ = get_slices_and_h_w(
+        image.shape[-2], image.shape[-1], settings, level
+    )
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    fn = _forward_jit(
+        _settings_key(settings), level, False, str(np.dtype(default_dtype()).name)
+    )
+    arr = np.asarray(jax.device_get(fn(jnp.asarray(image))))
+    return arr, ll_h, ll_w
+
+
+def forward_with_maps(
+    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+):
+    """Forward transform + significance maps, one device round-trip.
+
+    Returns (arr_i32, (M, D, G), ll_h, ll_w) as host numpy arrays, ready
+    for the C++ scheduling kernel.
+    """
+    image = np.asarray(image)
+    slices, _, _ = get_slices_and_h_w(
+        image.shape[-2], image.shape[-1], settings, level
+    )
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    fn = _forward_jit(
+        _settings_key(settings), level, True, str(np.dtype(default_dtype()).name)
+    )
+    arr, m, d, g = (np.asarray(x) for x in jax.device_get(fn(jnp.asarray(image))))
+    return arr, (m, d, g), ll_h, ll_w
+
+
+def forward_compact(
+    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+) -> Tuple[np.ndarray, int, int]:
+    """Forward transform with minimized device->host transfer.
+
+    Ships an int16 coefficient array (half the bytes of int32) plus a
+    1-byte overflow flag; falls back to the exact int32 path when any
+    coefficient magnitude exceeds int16 range. Returns (arr_i32, ll_h,
+    ll_w) — bit-identical to ``forward``.
+    """
+    image = np.asarray(image)
+    slices, _, _ = get_slices_and_h_w(
+        image.shape[-2], image.shape[-1], settings, level
+    )
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    fn = _forward_compact_jit(
+        _settings_key(settings), level, str(np.dtype(default_dtype()).name)
+    )
+    arr16, overflow = fn(jnp.asarray(image))
+    if bool(overflow):
+        return forward(image, settings, level)
+    arr = np.asarray(arr16).astype(np.int32)
+    return arr, ll_h, ll_w
+
+
+def inverse(
+    rec_arr: np.ndarray,
+    h: int,
+    w: int,
+    level: Optional[int],
+    settings: SpihtSettings,
+    slices=None,
+) -> np.ndarray:
+    """Host-facing inverse transform: i32 rec array -> (C,H,W) float image."""
+    del slices  # recomputed statically from (h, w, settings, level)
+    fn = _inverse_jit(
+        _settings_key(settings), h, w, level, str(np.dtype(default_dtype()).name)
+    )
+    return np.asarray(jax.device_get(fn(jnp.asarray(rec_arr))))

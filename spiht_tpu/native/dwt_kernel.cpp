@@ -1,0 +1,268 @@
+// dwt_kernel.cpp — native multilevel 2D DWT + quantization (host runtime).
+//
+// The TPU framework computes transforms on-device (JAX, spiht_tpu/wavelets/
+// dwt.py); this native implementation is the host-side production path for
+// single images / tunneled dev setups where device<->host bandwidth, not
+// compute, bounds the pipeline, and the trusted f64 companion to the C++
+// SPIHT scheduler in spiht_kernel.cpp. Same transform semantics as the
+// PyWavelets-compatible reference (spiht_tpu/wavelets/ref_dwt.py:
+//   cX[o] = sum_j filt[j] * ext[2o + 1 + (F-1) - j],
+//   out_len = (n + F - 1) / 2, extension modes by index map), with filters
+// passed in from Python so the filter-bank derivation stays in one place.
+//
+// Layout: packed coeffs_to_array layout (SURVEY.md §3.1), quantization is
+// coeff * chan_scale * q_scale truncated toward zero (hazard #1).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// extension modes (match spiht_tpu.wavelets.ref_dwt.extend)
+enum ExtMode {
+    EXT_ZERO = 0,
+    EXT_CONSTANT = 1,
+    EXT_SYMMETRIC = 2,
+    EXT_REFLECT = 3,
+    EXT_PERIODIC = 4,
+    EXT_SMOOTH = 5,
+    EXT_ANTISYMMETRIC = 6,
+    EXT_ANTIREFLECT = 7,
+};
+
+// index map for sample i in [-pad, n+pad) plus a sign/affine rule
+static inline double ext_sample(const double* x, long long n, long long i,
+                                int mode) {
+    if (i >= 0 && i < n) return x[i];
+    switch (mode) {
+        case EXT_ZERO:
+            return 0.0;
+        case EXT_CONSTANT:
+            return x[i < 0 ? 0 : n - 1];
+        case EXT_SYMMETRIC: {
+            long long p = 2 * n;
+            long long m = ((i % p) + p) % p;
+            return m < n ? x[m] : x[p - 1 - m];
+        }
+        case EXT_REFLECT: {
+            if (n == 1) return x[0];
+            long long p = 2 * n - 2;
+            long long m = ((i % p) + p) % p;
+            return m < n ? x[m] : x[p - m];
+        }
+        case EXT_PERIODIC: {
+            long long m = ((i % n) + n) % n;
+            return x[m];
+        }
+        case EXT_SMOOTH: {
+            if (n == 1) return x[0];
+            if (i < 0) return x[0] + (x[0] - x[1]) * (double)(-i);
+            return x[n - 1] + (x[n - 1] - x[n - 2]) * (double)(i - n + 1);
+        }
+        case EXT_ANTISYMMETRIC: {
+            long long p = 2 * n;
+            long long m = ((i % p) + p) % p;
+            return m < n ? x[m] : -x[p - 1 - m];
+        }
+        case EXT_ANTIREFLECT: {
+            // odd (point) reflection about the edge VALUES; for |offset|
+            // beyond n-1 the underlying reflect index wraps (rare; matches
+            // ref_dwt._take_refl on the same index arithmetic)
+            if (n == 1) return x[0];
+            long long p = 2 * n - 2;
+            if (i < 0) {
+                long long m = ((-i) % p + p) % p;
+                double v = m < n ? x[m] : x[p - m];
+                return 2.0 * x[0] - v;
+            }
+            long long j = 2 * (n - 1) - i;  // n-2 - (i - n)
+            long long m = ((j % p) + p) % p;
+            double v = m < n ? x[m] : x[p - m];
+            return 2.0 * x[n - 1] - v;
+        }
+    }
+    return 0.0;
+}
+
+// single-level 1D analysis along a contiguous row of length n.
+// lo/hi are the dec filters reversed is NOT pre-applied; semantics:
+//   out[o] = sum_j filt[j] * ext[1 + 2o + (F-1) - j]
+//          = sum_t filt_rev[t] * ext[1 + 2o + t],  filt_rev[t]=filt[F-1-t]
+static void dwt_row(const double* x, long long n, const double* lo_rev,
+                    const double* hi_rev, int F, int mode, double* cA,
+                    double* cD, long long out_len) {
+    const long long pad = F - 1;
+    for (long long o = 0; o < out_len; o++) {
+        const long long base = 1 + 2 * o - pad;  // ext index 0 == x[-pad]
+        double a = 0.0, d = 0.0;
+        for (int t = 0; t < F; t++) {
+            const double v = ext_sample(x, n, base + t, mode);
+            a += lo_rev[t] * v;
+            d += hi_rev[t] * v;
+        }
+        cA[o] = a;
+        cD[o] = d;
+    }
+}
+
+static inline long long coeff_len(long long n, int F) {
+    return (n + F - 1) / 2;
+}
+
+// cache-blocked transpose
+static void transpose(const double* src, long long rows, long long cols,
+                      double* dst) {
+    const long long B = 32;
+    for (long long i0 = 0; i0 < rows; i0 += B)
+        for (long long j0 = 0; j0 < cols; j0 += B) {
+            const long long i1 = std::min(i0 + B, rows);
+            const long long j1 = std::min(j0 + B, cols);
+            for (long long i = i0; i < i1; i++)
+                for (long long j = j0; j < j1; j++)
+                    dst[j * rows + i] = src[i * cols + j];
+        }
+}
+
+// Multilevel 2D DWT of one channel (h x w f64) into the packed layout.
+// work buffers provided by caller (size >= h*w each, x4).
+// Writes per-level subband dims into dims[2*levels] (coarse->fine h,w...).
+static void wavedec2_channel(const double* img, long long h, long long w,
+                             const double* lo_rev, const double* hi_rev,
+                             int F, int mode, int levels, double* packed,
+                             long long packed_h, long long packed_w,
+                             long long* lvl_h, long long* lvl_w,
+                             double* a_buf, double* tmp1, double* tmp2) {
+    // a_buf holds the current approximation (ah x aw)
+    std::memcpy(a_buf, img, sizeof(double) * h * w);
+    long long ah = h, aw = w;
+
+    // per-step output dims, fine->coarse: hs[0] = dims after the first
+    // decomposition (finest details), hs[levels-1] = LL dims
+    std::vector<long long> hs(levels), ws(levels);
+    {
+        long long th = h, tw = w;
+        for (int l = 0; l < levels; l++) {
+            th = coeff_len(th, F);
+            tw = coeff_len(tw, F);
+            hs[l] = th;
+            ws[l] = tw;
+        }
+    }
+    // coeffs_to_array placement (ref_dwt.coeffs_to_array): start offsets
+    // accumulate coarse->fine from the LL dims; for fine->coarse step l the
+    // detail blocks start at  start_l = ll + sum_{m=l+1..levels-1} dims_m
+    // (boundary growth makes this != the step's own output dims).
+    std::vector<long long> start_h(levels), start_w(levels);
+    for (int l = 0; l < levels; l++) {
+        long long sh = hs[levels - 1], sw = ws[levels - 1];  // LL block
+        for (int m = l + 1; m <= levels - 1; m++) {
+            sh += hs[m];
+            sw += ws[m];
+        }
+        start_h[l] = sh;
+        start_w[l] = sw;
+    }
+    for (int l = 0; l < levels; l++) {
+        // decompose a_buf (ah x aw) -> aa, ad, da, dd with dims oh x ow
+        const long long oh = coeff_len(ah, F), ow = coeff_len(aw, F);
+        // rows pass: for each of ah rows, conv width aw -> tmp1 rows of
+        // [cA | cD] each ow... store cA rows into tmp1 (ah x ow) and cD
+        // rows into tmp2 (ah x ow)
+        for (long long r = 0; r < ah; r++) {
+            dwt_row(a_buf + r * aw, aw, lo_rev, hi_rev, F, mode,
+                    tmp1 + r * ow, tmp2 + r * ow, ow);
+        }
+        // column pass on tmp1 (a branch) and tmp2 (d branch): transpose,
+        // row-conv, keep outputs transposed (oh x ow each)
+        // reuse a_buf as transpose scratch (ah*ow <= h*w)
+        double* tT = a_buf;
+        // a branch
+        transpose(tmp1, ah, ow, tT);            // ow x ah
+        std::vector<double> aa((size_t)oh * ow), ad((size_t)oh * ow),
+            da((size_t)oh * ow), dd((size_t)oh * ow);
+        std::vector<double> colA((size_t)oh), colD((size_t)oh);
+        for (long long c = 0; c < ow; c++) {
+            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
+                    colD.data(), oh);
+            for (long long r = 0; r < oh; r++) {
+                aa[r * ow + c] = colA[r];
+                da[r * ow + c] = colD[r];
+            }
+        }
+        // d branch
+        transpose(tmp2, ah, ow, tT);
+        for (long long c = 0; c < ow; c++) {
+            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
+                    colD.data(), oh);
+            for (long long r = 0; r < oh; r++) {
+                ad[r * ow + c] = colA[r];
+                dd[r * ow + c] = colD[r];
+            }
+        }
+        // ad: rows [0, oh), cols [start_w_l, +ow);
+        // da: rows [start_h_l, +oh), cols [0, ow);
+        // dd: rows [start_h_l, +oh), cols [start_w_l, +ow)
+        const long long sh = start_h[l], sw = start_w[l];
+        for (long long r = 0; r < oh; r++) {
+            std::memcpy(packed + r * packed_w + sw, ad.data() + r * ow,
+                        sizeof(double) * ow);
+        }
+        for (long long r = 0; r < oh; r++) {
+            std::memcpy(packed + (sh + r) * packed_w, da.data() + r * ow,
+                        sizeof(double) * ow);
+            std::memcpy(packed + (sh + r) * packed_w + sw, dd.data() + r * ow,
+                        sizeof(double) * ow);
+        }
+        // aa becomes next approximation
+        std::memcpy(a_buf, aa.data(), sizeof(double) * oh * ow);
+        ah = oh;
+        aw = ow;
+        lvl_h[l] = oh;
+        lvl_w[l] = ow;
+    }
+    // place final LL at top-left
+    for (long long r = 0; r < ah; r++)
+        std::memcpy(packed + r * packed_w, a_buf + r * aw,
+                    sizeof(double) * aw);
+}
+
+// Full forward transform: (C,H,W) f64 image -> packed (C, ph, pw) i32.
+// filters: dec_lo/dec_hi length F (NOT reversed). chan_scales may be null.
+// Returns 0 on success; *out_ll_h/w get the LL dims.
+int spiht_dwt_forward(const double* img, int C, long long h, long long w,
+                      const double* dec_lo, const double* dec_hi, int F,
+                      int mode, int levels, const double* chan_scales,
+                      double q_scale, int32_t* out_arr, long long ph,
+                      long long pw, long long* out_ll_h, long long* out_ll_w) {
+    if (levels < 1) return -1;
+    std::vector<double> lo_rev(F), hi_rev(F);
+    for (int t = 0; t < F; t++) {
+        lo_rev[t] = dec_lo[F - 1 - t];
+        hi_rev[t] = dec_hi[F - 1 - t];
+    }
+    std::vector<double> packed((size_t)ph * pw);
+    std::vector<double> a_buf((size_t)h * w), tmp1((size_t)h * w),
+        tmp2((size_t)h * w);
+    std::vector<long long> lvl_h(levels), lvl_w(levels);
+    for (int c = 0; c < C; c++) {
+        std::fill(packed.begin(), packed.end(), 0.0);
+        wavedec2_channel(img + (size_t)c * h * w, h, w, lo_rev.data(),
+                         hi_rev.data(), F, mode, levels, packed.data(), ph,
+                         pw, lvl_h.data(), lvl_w.data(), a_buf.data(),
+                         tmp1.data(), tmp2.data());
+        const double s = (chan_scales ? chan_scales[c] : 1.0) * q_scale;
+        int32_t* dst = out_arr + (size_t)c * ph * pw;
+        for (size_t t = 0; t < (size_t)ph * pw; t++) {
+            dst[t] = (int32_t)(packed[t] * s);  // trunc toward zero
+        }
+    }
+    *out_ll_h = lvl_h[levels - 1];
+    *out_ll_w = lvl_w[levels - 1];
+    return 0;
+}
+
+}  // extern "C"

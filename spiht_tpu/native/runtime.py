@@ -18,13 +18,27 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "spiht_kernel.cpp")
+_SRCS = [_SRC, os.path.join(_HERE, "dwt_kernel.cpp")]
 _LOCK = threading.Lock()
 _LIB = None
 _LOAD_FAILED = False
 
+# extension-mode ids shared with dwt_kernel.cpp (enum ExtMode)
+_EXT_MODES = {
+    "zero": 0,
+    "constant": 1,
+    "symmetric": 2,
+    "reflect": 3,
+    "periodic": 4,
+    "smooth": 5,
+    "antisymmetric": 6,
+    "antireflect": 7,
+}
+
 c_i32_p = ctypes.POINTER(ctypes.c_int32)
 c_i8_p = ctypes.POINTER(ctypes.c_int8)
 c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+c_int_p = ctypes.POINTER(ctypes.c_int)
 
 
 def _build(so_path: str) -> None:
@@ -37,7 +51,7 @@ def _build(so_path: str) -> None:
         "-fPIC",
         "-o",
         so_path,
-        _SRC,
+        *_SRCS,
         "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -72,6 +86,29 @@ class _Kernel:
         lib.spiht_compute_maps.argtypes = [
             c_i32_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, c_i8_p, c_i8_p, c_i8_p,
+        ]
+        lib.spiht_encode_batch.restype = ctypes.c_int
+        lib.spiht_encode_batch.argtypes = [
+            ctypes.POINTER(c_i32_p), ctypes.c_int, c_int_p, c_int_p, c_int_p,
+            c_int_p, c_int_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(c_i8_p), ctypes.POINTER(c_i8_p),
+            ctypes.POINTER(c_i8_p), ctypes.POINTER(c_u8_p),
+            ctypes.POINTER(ctypes.c_longlong), c_int_p,
+        ]
+        lib.spiht_decode_batch.restype = ctypes.c_int
+        lib.spiht_decode_batch.argtypes = [
+            ctypes.POINTER(c_u8_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong), c_int_p, c_int_p, c_int_p,
+            c_int_p, c_int_p, c_int_p, ctypes.c_int, ctypes.POINTER(c_i32_p),
+        ]
+        c_f64_p = ctypes.POINTER(ctypes.c_double)
+        lib.spiht_dwt_forward.restype = ctypes.c_int
+        lib.spiht_dwt_forward.argtypes = [
+            c_f64_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+            c_f64_p, c_f64_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_f64_p, ctypes.c_double, c_i32_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_longlong),
         ]
 
     # -- core ---------------------------------------------------------------
@@ -151,6 +188,137 @@ class _Kernel:
             raise ValueError(f"spiht_decode failed (rc={rc})")
         return rec, meta
 
+    def encode_batch(
+        self,
+        arrs,
+        ll_hs,
+        ll_ws,
+        max_bits,
+        use_maps: bool = True,
+        maps=None,
+        nthreads: int = 0,
+    ):
+        """Encode a batch of (C,H,W) i32 arrays in parallel native threads.
+
+        arrs: sequence of arrays (shapes may differ). maps: optional
+        sequence of (M, D, G) int8 triples, e.g. computed on TPU.
+        Returns list of (bytes, max_n).
+        """
+        batch = len(arrs)
+        arrs = [np.ascontiguousarray(a, dtype=np.int32) for a in arrs]
+        cs = np.array([a.shape[0] for a in arrs], dtype=np.int32)
+        hs = np.array([a.shape[1] for a in arrs], dtype=np.int32)
+        ws = np.array([a.shape[2] for a in arrs], dtype=np.int32)
+        ll_hs = np.asarray(ll_hs, dtype=np.int32)
+        ll_ws = np.asarray(ll_ws, dtype=np.int32)
+        mb = np.array(
+            [min(int(m), 2**62) for m in max_bits], dtype=np.int64
+        )
+        arr_ptrs = (c_i32_p * batch)(
+            *[a.ctypes.data_as(c_i32_p) for a in arrs]
+        )
+        if maps is not None:
+            maps = [
+                tuple(np.ascontiguousarray(m, dtype=np.int8) for m in t)
+                for t in maps
+            ]
+            mptr = (c_i8_p * batch)(*[t[0].ctypes.data_as(c_i8_p) for t in maps])
+            dptr = (c_i8_p * batch)(*[t[1].ctypes.data_as(c_i8_p) for t in maps])
+            gptr = (c_i8_p * batch)(*[t[2].ctypes.data_as(c_i8_p) for t in maps])
+        else:
+            mptr = dptr = gptr = ctypes.cast(None, ctypes.POINTER(c_i8_p))
+        out_datas = (c_u8_p * batch)()
+        out_nbits = (ctypes.c_longlong * batch)()
+        out_max_ns = (ctypes.c_int * batch)()
+        rc = self._lib.spiht_encode_batch(
+            arr_ptrs, batch,
+            cs.ctypes.data_as(c_int_p), hs.ctypes.data_as(c_int_p),
+            ws.ctypes.data_as(c_int_p), ll_hs.ctypes.data_as(c_int_p),
+            ll_ws.ctypes.data_as(c_int_p),
+            mb.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            int(use_maps), int(nthreads), mptr, dptr, gptr,
+            out_datas, out_nbits, out_max_ns,
+        )
+        if rc != 0:
+            raise ValueError(f"spiht_encode_batch failed (rc={rc})")
+        out = []
+        for t in range(batch):
+            nbytes = (out_nbits[t] + 7) // 8
+            out.append((ctypes.string_at(out_datas[t], nbytes), out_max_ns[t]))
+            self._lib.spiht_free(out_datas[t])
+        return out
+
+    def decode_batch(self, datas, ns, cs, hs, ws, ll_hs, ll_ws, nthreads=0):
+        """Decode a batch of byte streams in parallel native threads."""
+        batch = len(datas)
+        bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+        recs = [
+            np.zeros((cs[t], hs[t], ws[t]), dtype=np.int32)
+            for t in range(batch)
+        ]
+        data_ptrs = (c_u8_p * batch)(
+            *[b.ctypes.data_as(c_u8_p) for b in bufs]
+        )
+        nbits = (ctypes.c_longlong * batch)(*[len(d) * 8 for d in datas])
+        rec_ptrs = (c_i32_p * batch)(
+            *[r.ctypes.data_as(c_i32_p) for r in recs]
+        )
+        mk = lambda v: np.asarray(v, dtype=np.int32)
+        ns, cs, hs, ws, ll_hs, ll_ws = map(mk, (ns, cs, hs, ws, ll_hs, ll_ws))
+        rc = self._lib.spiht_decode_batch(
+            data_ptrs, batch, nbits,
+            ns.ctypes.data_as(c_int_p), cs.ctypes.data_as(c_int_p),
+            hs.ctypes.data_as(c_int_p), ws.ctypes.data_as(c_int_p),
+            ll_hs.ctypes.data_as(c_int_p), ll_ws.ctypes.data_as(c_int_p),
+            int(nthreads), rec_ptrs,
+        )
+        if rc != 0:
+            raise ValueError(f"spiht_decode_batch failed (rc={rc})")
+        return recs
+
+    def dwt_forward(
+        self,
+        image: np.ndarray,
+        dec_lo,
+        dec_hi,
+        mode: str,
+        levels: int,
+        ph: int,
+        pw: int,
+        chan_scales=None,
+        q_scale: float = 1.0,
+    ):
+        """Native f64 multilevel 2D DWT + quantization of a (C,H,W) image.
+
+        Returns (arr_i32 of shape (C, ph, pw), ll_h, ll_w). ph/pw must be
+        the packed dims from the geometry module.
+        """
+        image = np.ascontiguousarray(image, dtype=np.float64)
+        C, h, w = image.shape
+        lo = np.ascontiguousarray(dec_lo, dtype=np.float64)
+        hi = np.ascontiguousarray(dec_hi, dtype=np.float64)
+        if mode not in _EXT_MODES:
+            raise ValueError(f"unsupported mode {mode!r}")
+        out = np.empty((C, ph, pw), dtype=np.int32)
+        c_f64_p = ctypes.POINTER(ctypes.c_double)
+        if chan_scales is not None:
+            cs = np.ascontiguousarray(chan_scales, dtype=np.float64)
+            cs_p = cs.ctypes.data_as(c_f64_p)
+        else:
+            cs_p = ctypes.cast(None, c_f64_p)
+        ll_h = ctypes.c_longlong()
+        ll_w = ctypes.c_longlong()
+        rc = self._lib.spiht_dwt_forward(
+            image.ctypes.data_as(c_f64_p), C, h, w,
+            lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
+            len(lo), _EXT_MODES[mode], levels, cs_p, float(q_scale),
+            out.ctypes.data_as(c_i32_p), ph, pw,
+            ctypes.byref(ll_h), ctypes.byref(ll_w),
+        )
+        if rc != 0:
+            raise ValueError(f"spiht_dwt_forward failed (rc={rc})")
+        return out, ll_h.value, ll_w.value
+
     def compute_maps(self, arr: np.ndarray, ll_h: int, ll_w: int):
         arr = np.ascontiguousarray(arr, dtype=np.int32)
         c, h, w = arr.shape
@@ -177,8 +345,8 @@ def load() -> Optional[_Kernel]:
             return _LIB
         so = _so_path()
         try:
-            if (not os.path.exists(so)) or (
-                os.path.getmtime(so) < os.path.getmtime(_SRC)
+            if (not os.path.exists(so)) or any(
+                os.path.getmtime(so) < os.path.getmtime(s) for s in _SRCS
             ):
                 _build(so)
             _LIB = _Kernel(ctypes.CDLL(so))

@@ -568,7 +568,9 @@ int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
 int spiht_encode_batch(const int32_t* const* arrs, int batch, const int* cs,
                        const int* hs, const int* ws, const int* ll_hs,
                        const int* ll_ws, const long long* max_bits,
-                       int use_maps, int nthreads, uint8_t** out_datas,
+                       int use_maps, int nthreads,
+                       const int8_t* const* Ms, const int8_t* const* Ds,
+                       const int8_t* const* Gs, uint8_t** out_datas,
                        long long* out_nbits, int* out_max_ns) {
     if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
     if (nthreads > batch) nthreads = batch;
@@ -578,11 +580,38 @@ int spiht_encode_batch(const int32_t* const* arrs, int batch, const int* cs,
         for (;;) {
             const int t = next.fetch_add(1);
             if (t >= batch) return;
-            const int rc = spiht_encode(arrs[t], cs[t], hs[t], ws[t], ll_hs[t],
-                                        ll_ws[t], max_bits[t], use_maps,
-                                        nullptr, nullptr, nullptr,
-                                        &out_datas[t], &out_nbits[t],
-                                        &out_max_ns[t]);
+            const int rc = spiht_encode(
+                arrs[t], cs[t], hs[t], ws[t], ll_hs[t], ll_ws[t], max_bits[t],
+                use_maps, Ms ? Ms[t] : nullptr, Ds ? Ds[t] : nullptr,
+                Gs ? Gs[t] : nullptr, &out_datas[t], &out_nbits[t],
+                &out_max_ns[t]);
+            if (rc != 0) err.store(rc);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nthreads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return err.load();
+}
+
+// Batched decode: one thread per stream.
+int spiht_decode_batch(const uint8_t* const* datas, int batch,
+                       const long long* nbits, const int* n_starts,
+                       const int* cs, const int* hs, const int* ws,
+                       const int* ll_hs, const int* ll_ws, int nthreads,
+                       int32_t** recs) {
+    if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+    if (nthreads > batch) nthreads = batch;
+    std::atomic<int> next(0);
+    std::atomic<int> err(0);
+    auto worker = [&]() {
+        for (;;) {
+            const int t = next.fetch_add(1);
+            if (t >= batch) return;
+            const int rc = spiht_decode(datas[t], nbits[t], n_starts[t], cs[t],
+                                        hs[t], ws[t], ll_hs[t], ll_ws[t],
+                                        recs[t], 0, nullptr, nullptr, nullptr,
+                                        0);
             if (rc != 0) err.store(rc);
         }
     };

@@ -21,13 +21,20 @@ from .settings import SpihtSettings
 from .wavelets import ref_dwt
 from .wavelets.geometry import get_slices_and_h_w
 
-__all__ = ["forward_numpy", "inverse_numpy", "forward", "inverse", "get_backend"]
+__all__ = [
+    "forward_numpy",
+    "inverse_numpy",
+    "forward_native",
+    "forward",
+    "inverse",
+    "get_backend",
+]
 
 _BACKEND = os.environ.get("SPIHT_TPU_TRANSFORM", "auto")
 
 
 def get_backend() -> str:
-    if _BACKEND in ("numpy", "jax"):
+    if _BACKEND in ("numpy", "jax", "native"):
         return _BACKEND
     try:
         from . import jax_transform  # noqa: F401
@@ -78,11 +85,53 @@ def inverse_numpy(
     return image
 
 
+def forward_native(
+    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+) -> Tuple[np.ndarray, int, int]:
+    """Native C++ f64 DWT + quantization (host production path).
+
+    Same semantics as forward_numpy; color conversion stays in numpy (3x3
+    matmuls, negligible), the multilevel transform + quantization run in
+    the native kernel. Falls back to forward_numpy when the kernel is
+    unavailable or the level is not >= 1.
+    """
+    from .native import runtime
+    from .wavelets.filters import build_wavelet, dwt_max_level
+
+    nat = runtime.load()
+    image = np.asarray(image)
+    h, w = image.shape[-2], image.shape[-1]
+    wav = build_wavelet(settings.wavelet)
+    lv = level
+    if lv is None:
+        lv = min(dwt_max_level(h, wav.dec_len), dwt_max_level(w, wav.dec_len))
+    if nat is None or lv < 1:
+        return forward_numpy(image, settings, level)
+    if settings.color_model is not None:
+        image = color_models.convert(image, "RGB", settings.color_model)
+    slices, ph, pw = get_slices_and_h_w(h, w, settings, level)
+    arr, ll_h, ll_w = nat.dwt_forward(
+        image,
+        wav.dec_lo,
+        wav.dec_hi,
+        settings.mode,
+        lv,
+        ph,
+        pw,
+        chan_scales=settings.per_channel_quant_scales,
+        q_scale=settings.quantization_scale,
+    )
+    return arr, ll_h, ll_w
+
+
 def forward(image, settings: SpihtSettings, level: Optional[int]):
-    if get_backend() == "jax":
+    backend = get_backend()
+    if backend == "jax":
         from . import jax_transform
 
         return jax_transform.forward(image, settings, level)
+    if backend == "native":
+        return forward_native(image, settings, level)
     return forward_numpy(image, settings, level)
 
 

@@ -1,18 +1,29 @@
 """Test configuration.
 
 Tests run on CPU with 8 virtual devices so sharding/mesh code paths execute
-without TPU hardware. Must be set before the first jax import.
+without TPU hardware, and with x64 enabled so transform exactness vs the
+float64 numpy reference can be asserted.
+
+NOTE: in the target environment a sitecustomize.py imports jax and
+registers the TPU PJRT plugin before ANY user code runs, so setting
+JAX_PLATFORMS / JAX_ENABLE_X64 via os.environ here is too late (jax
+snapshots env-derived config at import). jax.config.update still works as
+long as no backend has been initialized, and XLA_FLAGS is read at CPU
+client creation — which also hasn't happened yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
