@@ -265,4 +265,130 @@ int spiht_dwt_forward(const double* img, int C, long long h, long long w,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Inverse: multilevel 2D IDWT (pywt.waverec2 semantics incl. odd-dim crops).
+// Polyphase synthesis (see spiht_tpu/wavelets/dwt.py idwt1d):
+//   out[2m]   = sum_u c[m+u] * filt[F-2-2u]   (t = 2u+1 odd taps)
+//   out[2m+1] = sum_v c[m+v] * filt[F-1-2v]   (t = 2v   even taps)
+//   out_len = 2n - F + 2, summed over the (cA, rec_lo), (cD, rec_hi) pair.
+// ---------------------------------------------------------------------------
+
+static void idwt_row(const double* a, const double* d, long long n,
+                     const double* lo, const double* hi, int F, double* out,
+                     long long out_len) {
+    const long long n_even = (out_len + 1) / 2;
+    const long long n_odd = out_len / 2;
+    for (long long m = 0; m < n_even; m++) {
+        double s = 0.0;
+        for (int u = 0; 2 * u + 1 < F; u++) {
+            const long long i = m + u;
+            if (i < n) s += a[i] * lo[F - 2 - 2 * u] + d[i] * hi[F - 2 - 2 * u];
+        }
+        out[2 * m] = s;
+    }
+    for (long long m = 0; m < n_odd; m++) {
+        double s = 0.0;
+        for (int v = 0; 2 * v < F; v++) {
+            const long long i = m + v;
+            if (i < n) s += a[i] * lo[F - 1 - 2 * v] + d[i] * hi[F - 1 - 2 * v];
+        }
+        out[2 * m + 1] = s;
+    }
+}
+
+// Inverse transform of one packed channel back to the image plane.
+// lvl arrays are coarse->fine per level: detail block start offsets and
+// dims in the packed array (from the Python geometry module).
+// a_buf/b_buf/t_buf: scratch >= out_h*out_w each.
+static void waverec2_channel(const double* packed, long long pw_row,
+                             const double* rec_lo, const double* rec_hi,
+                             int F, int levels, long long ll_h, long long ll_w,
+                             const long long* lvl_sh, const long long* lvl_sw,
+                             const long long* lvl_dh, const long long* lvl_dw,
+                             double* a_buf, double* b_buf, double* t_buf,
+                             long long* fin_h, long long* fin_w) {
+    // current approximation in a_buf (ah x aw)
+    long long ah = ll_h, aw = ll_w;
+    for (long long r = 0; r < ah; r++)
+        std::memcpy(a_buf + r * aw, packed + r * pw_row,
+                    sizeof(double) * aw);
+
+    for (int l = 0; l < levels; l++) {
+        const long long sh = lvl_sh[l], sw = lvl_sw[l];
+        const long long dh = lvl_dh[l], dw = lvl_dw[l];
+        // pywt crop: if approximation outgrew the details by 1, trim
+        long long ch = ah, cw = aw;
+        if (ch == dh + 1) ch = dh;
+        if (cw == dw + 1) cw = dw;
+        // (if cw < aw the a_buf rows are strided by aw; compact first)
+        if (cw != aw) {
+            for (long long r = 0; r < ch; r++)
+                std::memmove(a_buf + r * cw, a_buf + r * aw,
+                             sizeof(double) * cw);
+        }
+        const long long ow = 2 * dw - F + 2;   // width after W-axis idwt
+        const long long oh = 2 * dh - F + 2;   // height after H-axis idwt
+        // W-axis pass: rows of (aa, ad) -> b_buf (ch x ow);
+        //              rows of (da, dd) -> t_buf (dh x ow)
+        // aa = a_buf (ch x cw), ad = packed[0:dh, sw:sw+dw] (row r < ch)
+        for (long long r = 0; r < ch; r++) {
+            idwt_row(a_buf + r * cw, packed + r * pw_row + sw, dw, rec_lo,
+                     rec_hi, F, b_buf + r * ow, ow);
+        }
+        for (long long r = 0; r < dh; r++) {
+            idwt_row(packed + (sh + r) * pw_row,
+                     packed + (sh + r) * pw_row + sw, dw, rec_lo, rec_hi, F,
+                     t_buf + r * ow, ow);
+        }
+        // H-axis pass per column: a-branch = b_buf col, d-branch = t_buf col
+        // write into a_buf (oh x ow). Use column scratch.
+        std::vector<double> colA((size_t)dh), colD((size_t)dh),
+            colO((size_t)oh);
+        for (long long c = 0; c < ow; c++) {
+            for (long long r = 0; r < dh; r++) {
+                colA[r] = r < ch ? b_buf[r * ow + c] : 0.0;
+                colD[r] = t_buf[r * ow + c];
+            }
+            idwt_row(colA.data(), colD.data(), dh, rec_lo, rec_hi, F,
+                     colO.data(), oh);
+            for (long long r = 0; r < oh; r++) a_buf[r * ow + c] = colO[r];
+        }
+        ah = oh;
+        aw = ow;
+    }
+    *fin_h = ah;
+    *fin_w = aw;
+}
+
+// Full inverse: packed (C, ph, pw) i32 -> (C, out_h, out_w) f64 image
+// plane stack (before inverse color conversion, which stays in Python).
+// lvl_* arrays are per level coarse->fine, length `levels`.
+int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
+                      const double* rec_lo, const double* rec_hi, int F,
+                      int levels, long long ll_h, long long ll_w,
+                      const long long* lvl_sh, const long long* lvl_sw,
+                      const long long* lvl_dh, const long long* lvl_dw,
+                      const double* chan_scales, double q_scale,
+                      double* out, long long out_h, long long out_w) {
+    if (levels < 1) return -1;
+    // scratch sized to the final plane (grows monotonically per level)
+    std::vector<double> packed((size_t)ph * pw);
+    std::vector<double> a_buf((size_t)out_h * out_w),
+        b_buf((size_t)out_h * out_w), t_buf((size_t)out_h * out_w);
+    for (int c = 0; c < C; c++) {
+        const double s = 1.0 / ((chan_scales ? chan_scales[c] : 1.0) * q_scale);
+        const int32_t* src = arr + (size_t)c * ph * pw;
+        for (size_t t = 0; t < (size_t)ph * pw; t++)
+            packed[t] = (double)src[t] * s;
+        long long fh = 0, fw = 0;
+        waverec2_channel(packed.data(), pw, rec_lo, rec_hi, F, levels, ll_h,
+                         ll_w, lvl_sh, lvl_sw, lvl_dh, lvl_dw, a_buf.data(),
+                         b_buf.data(), t_buf.data(), &fh, &fw);
+        if (fh != out_h || fw != out_w) return -2;
+        std::memcpy(out + (size_t)c * out_h * out_w, a_buf.data(),
+                    sizeof(double) * out_h * out_w);
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -102,13 +102,22 @@ class _Kernel:
             c_int_p, c_int_p, c_int_p, ctypes.c_int, ctypes.POINTER(c_i32_p),
         ]
         c_f64_p = ctypes.POINTER(ctypes.c_double)
+        c_i64_p = ctypes.POINTER(ctypes.c_longlong)
         lib.spiht_dwt_forward.restype = ctypes.c_int
         lib.spiht_dwt_forward.argtypes = [
             c_f64_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
             c_f64_p, c_f64_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             c_f64_p, ctypes.c_double, c_i32_p, ctypes.c_longlong,
-            ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
-            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_longlong, c_i64_p, c_i64_p,
+        ]
+        lib.spiht_dwt_inverse.restype = ctypes.c_int
+        lib.spiht_dwt_inverse.argtypes = [
+            c_i32_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+            c_f64_p, c_f64_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong,
+            c_i64_p, c_i64_p, c_i64_p, c_i64_p,
+            c_f64_p, ctypes.c_double, c_f64_p, ctypes.c_longlong,
+            ctypes.c_longlong,
         ]
 
     # -- core ---------------------------------------------------------------
@@ -318,6 +327,54 @@ class _Kernel:
         if rc != 0:
             raise ValueError(f"spiht_dwt_forward failed (rc={rc})")
         return out, ll_h.value, ll_w.value
+
+    def dwt_inverse(
+        self,
+        arr: np.ndarray,
+        rec_lo,
+        rec_hi,
+        levels: int,
+        ll_h: int,
+        ll_w: int,
+        lvl_rects,
+        out_h: int,
+        out_w: int,
+        chan_scales=None,
+        q_scale: float = 1.0,
+    ) -> np.ndarray:
+        """Native f64 dequantize + multilevel 2D inverse DWT.
+
+        lvl_rects: per level coarse->fine, tuples (start_h, start_w, dh, dw)
+        of the dd-block geometry in the packed array.
+        """
+        arr = np.ascontiguousarray(arr, dtype=np.int32)
+        C, ph, pw = arr.shape
+        lo = np.ascontiguousarray(rec_lo, dtype=np.float64)
+        hi = np.ascontiguousarray(rec_hi, dtype=np.float64)
+        sh = np.array([r[0] for r in lvl_rects], dtype=np.int64)
+        sw = np.array([r[1] for r in lvl_rects], dtype=np.int64)
+        dh = np.array([r[2] for r in lvl_rects], dtype=np.int64)
+        dw = np.array([r[3] for r in lvl_rects], dtype=np.int64)
+        out = np.empty((C, out_h, out_w), dtype=np.float64)
+        c_f64_p = ctypes.POINTER(ctypes.c_double)
+        c_i64_p = ctypes.POINTER(ctypes.c_longlong)
+        if chan_scales is not None:
+            cs = np.ascontiguousarray(chan_scales, dtype=np.float64)
+            cs_p = cs.ctypes.data_as(c_f64_p)
+        else:
+            cs_p = ctypes.cast(None, c_f64_p)
+        rc = self._lib.spiht_dwt_inverse(
+            arr.ctypes.data_as(c_i32_p), C, ph, pw,
+            lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
+            len(lo), levels, ll_h, ll_w,
+            sh.ctypes.data_as(c_i64_p), sw.ctypes.data_as(c_i64_p),
+            dh.ctypes.data_as(c_i64_p), dw.ctypes.data_as(c_i64_p),
+            cs_p, float(q_scale),
+            out.ctypes.data_as(c_f64_p), out_h, out_w,
+        )
+        if rc != 0:
+            raise ValueError(f"spiht_dwt_inverse failed (rc={rc})")
+        return out
 
     def compute_maps(self, arr: np.ndarray, ll_h: int, ll_w: int):
         arr = np.ascontiguousarray(arr, dtype=np.int32)

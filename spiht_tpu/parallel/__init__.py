@@ -1,0 +1,24 @@
+"""Parallel/scaling layer: device meshes, batch DP, spatial sharding.
+
+The reference is single-threaded, single-host (SURVEY.md §1: no
+parallelism anywhere); this package is where the TPU framework scales:
+
+  * mesh.py    — (batch, tile) mesh construction + canonical shardings
+  * spatial.py — halo-exchange sharded DWT (ppermute over ICI)
+
+Batch data-parallel transforms need no special code: the jitted analysis
+programs in spiht_tpu.jax_transform accept a batch-sharded input (see
+mesh.batch_sharding) and XLA partitions them trivially; __graft_entry__'s
+dryrun_multichip exercises exactly that.
+"""
+
+from .mesh import batch_sharding, image_sharding, make_mesh
+from .spatial import sharded_dwt2_level1, sharded_wavedec2_packed
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "image_sharding",
+    "sharded_dwt2_level1",
+    "sharded_wavedec2_packed",
+]

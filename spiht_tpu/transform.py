@@ -25,6 +25,7 @@ __all__ = [
     "forward_numpy",
     "inverse_numpy",
     "forward_native",
+    "inverse_native",
     "forward",
     "inverse",
     "get_backend",
@@ -124,6 +125,59 @@ def forward_native(
     return arr, ll_h, ll_w
 
 
+def inverse_native(
+    rec_arr: np.ndarray,
+    h: int,
+    w: int,
+    level: Optional[int],
+    settings: SpihtSettings,
+    slices=None,
+) -> np.ndarray:
+    """Native C++ f64 dequantize + inverse DWT + inverse color.
+
+    Same semantics as inverse_numpy (incl. no final crop — reference
+    parity); falls back to it when the kernel is unavailable.
+    """
+    from .native import runtime
+    from .wavelets.filters import build_wavelet, dwt_max_level
+
+    nat = runtime.load()
+    rec_arr = np.asarray(rec_arr)
+    wav = build_wavelet(settings.wavelet)
+    lv = level
+    if lv is None:
+        lv = min(dwt_max_level(h, wav.dec_len), dwt_max_level(w, wav.dec_len))
+    if nat is None or lv < 1:
+        return inverse_numpy(rec_arr, h, w, level, settings, slices)
+    if slices is None:
+        slices, _, _ = get_slices_and_h_w(h, w, settings, level)
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    F = wav.rec_len
+    lvl_rects = []
+    ah, aw = ll_h, ll_w
+    for d in slices[1:]:
+        s = d["dd"]
+        dh, dw = s[1].stop - s[1].start, s[2].stop - s[2].start
+        lvl_rects.append((s[1].start, s[2].start, dh, dw))
+        ah, aw = 2 * dh - F + 2, 2 * dw - F + 2
+    image = nat.dwt_inverse(
+        rec_arr,
+        wav.rec_lo,
+        wav.rec_hi,
+        lv,
+        ll_h,
+        ll_w,
+        lvl_rects,
+        ah,
+        aw,
+        chan_scales=settings.per_channel_quant_scales,
+        q_scale=settings.quantization_scale,
+    )
+    if settings.color_model is not None:
+        image = color_models.convert(image, settings.color_model, "RGB")
+    return image
+
+
 def forward(image, settings: SpihtSettings, level: Optional[int]):
     backend = get_backend()
     if backend == "jax":
@@ -136,8 +190,11 @@ def forward(image, settings: SpihtSettings, level: Optional[int]):
 
 
 def inverse(rec_arr, h, w, level, settings: SpihtSettings, slices=None):
-    if get_backend() == "jax":
+    backend = get_backend()
+    if backend == "jax":
         from . import jax_transform
 
         return jax_transform.inverse(rec_arr, h, w, level, settings, slices)
+    if backend == "native":
+        return inverse_native(rec_arr, h, w, level, settings, slices)
     return inverse_numpy(rec_arr, h, w, level, settings, slices)
