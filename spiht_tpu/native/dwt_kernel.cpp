@@ -89,20 +89,26 @@ static inline double ext_sample(const double* x, long long n, long long i,
 }
 
 // single-level 1D analysis along a contiguous row of length n.
-// lo/hi are the dec filters reversed is NOT pre-applied; semantics:
-//   out[o] = sum_j filt[j] * ext[1 + 2o + (F-1) - j]
-//          = sum_t filt_rev[t] * ext[1 + 2o + t],  filt_rev[t]=filt[F-1-t]
+//   out[o] = sum_t filt_rev[t] * ext2[2o + t],  filt_rev[t] = filt[F-1-t],
+//   ext2[i] = x_ext[i - (F-2)]  (signal extended F-1 both sides, then [1:]).
+// The extension is materialized once into ``extbuf`` (>= n + 2F - 2), so
+// the hot loop is pure contiguous FMAs that -O3 -march=native vectorizes.
 static void dwt_row(const double* x, long long n, const double* lo_rev,
                     const double* hi_rev, int F, int mode, double* cA,
-                    double* cD, long long out_len) {
-    const long long pad = F - 1;
+                    double* cD, long long out_len, double* extbuf) {
+    const int pad = F - 1;
+    for (int i = 0; i < pad; i++)
+        extbuf[i] = ext_sample(x, n, i - pad, mode);
+    std::memcpy(extbuf + pad, x, sizeof(double) * n);
+    for (int i = 0; i < pad; i++)
+        extbuf[pad + n + i] = ext_sample(x, n, n + i, mode);
+    const double* e2 = extbuf + 1;  // ext2[0] = x_ext[-(F-2)]
     for (long long o = 0; o < out_len; o++) {
-        const long long base = 1 + 2 * o - pad;  // ext index 0 == x[-pad]
+        const double* p = e2 + 2 * o;
         double a = 0.0, d = 0.0;
         for (int t = 0; t < F; t++) {
-            const double v = ext_sample(x, n, base + t, mode);
-            a += lo_rev[t] * v;
-            d += hi_rev[t] * v;
+            a += lo_rev[t] * p[t];
+            d += hi_rev[t] * p[t];
         }
         cA[o] = a;
         cD[o] = d;
@@ -172,9 +178,10 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         // rows pass: for each of ah rows, conv width aw -> tmp1 rows of
         // [cA | cD] each ow... store cA rows into tmp1 (ah x ow) and cD
         // rows into tmp2 (ah x ow)
+        std::vector<double> extbuf((size_t)std::max(ah, aw) + 2 * F);
         for (long long r = 0; r < ah; r++) {
             dwt_row(a_buf + r * aw, aw, lo_rev, hi_rev, F, mode,
-                    tmp1 + r * ow, tmp2 + r * ow, ow);
+                    tmp1 + r * ow, tmp2 + r * ow, ow, extbuf.data());
         }
         // column pass on tmp1 (a branch) and tmp2 (d branch): transpose,
         // row-conv, keep outputs transposed (oh x ow each)
@@ -187,7 +194,7 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         std::vector<double> colA((size_t)oh), colD((size_t)oh);
         for (long long c = 0; c < ow; c++) {
             dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
-                    colD.data(), oh);
+                    colD.data(), oh, extbuf.data());
             for (long long r = 0; r < oh; r++) {
                 aa[r * ow + c] = colA[r];
                 da[r * ow + c] = colD[r];
@@ -197,7 +204,7 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         transpose(tmp2, ah, ow, tT);
         for (long long c = 0; c < ow; c++) {
             dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
-                    colD.data(), oh);
+                    colD.data(), oh, extbuf.data());
             for (long long r = 0; r < oh; r++) {
                 ad[r * ow + c] = colA[r];
                 dd[r * ow + c] = colD[r];

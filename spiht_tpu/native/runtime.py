@@ -46,6 +46,10 @@ def _build(so_path: str) -> None:
         "g++",
         "-O3",
         "-march=native",
+        # keep f64 arithmetic bit-compatible with the numpy reference: no
+        # a*b+c -> fma() contraction (it changes rounding and can flip the
+        # truncate-toward-zero quantization of borderline coefficients)
+        "-ffp-contract=off",
         "-std=c++17",
         "-shared",
         "-fPIC",
