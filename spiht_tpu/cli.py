@@ -52,12 +52,30 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--level", type=int, default=None)
     p.add_argument("--bpp", type=float, default=1.0)
+    p.add_argument(
+        "--backend",
+        choices=["auto", "native", "jax", "numpy"],
+        default="native",
+        help="transform backend; 'native' (C++ f64, default: fastest for "
+        "one-shot CLI use), 'jax' (device/TPU, amortizes its jit compile "
+        "over batches), 'numpy' (trusted reference)",
+    )
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage timings and bit-plane histogram")
+
+
+def _apply_backend(args) -> None:
+    from . import transform
+
+    if args.backend != "auto":
+        transform._BACKEND = args.backend
 
 
 def cmd_encode_decode(args) -> int:
     if args.bpp <= 0:
         print("error: --bpp must be > 0", file=sys.stderr)
         return 2
+    _apply_backend(args)
     image = imload(args.image)
     c, h, w = image.shape
     settings = _settings_from_args(args)
@@ -85,9 +103,41 @@ def cmd_encode_decode(args) -> int:
     print(f"decoded in {t_dec*1e3:.1f} ms; mean L2 {mean_l2:.3e}; "
           f"PSNR {psnr:.2f} dB")
 
+    if args.stats:
+        from . import metrics
+
+        st = metrics.encode_stats(image, er, t_enc, reconstruction=rec_c)
+        print(st.to_json())
+        hist = metrics.bits_per_plane(er, settings)
+        print("bits per plane:",
+              {n: hist[n] for n in sorted(hist, reverse=True)})
+
     if args.out:
         imsave(args.out, rec_c)
         print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    """Rate-distortion sweep: encode at several bpp points, print one JSON
+    line per point (the reference's demonstrate.py bpp-sweep, structured)."""
+    _apply_backend(args)
+    image = imload(args.image)
+    c, h, w = image.shape
+    settings = _settings_from_args(args)
+    level = args.level if args.level is not None else _auto_level(h, w)
+    bpps = [float(v) for v in args.bpps.split(",")]
+    from . import metrics
+
+    for bpp in bpps:
+        t0 = time.perf_counter()
+        er = codec.api.encode_image(
+            image, settings, level=level, max_bits=round(bpp * h * w)
+        )
+        t_enc = time.perf_counter() - t0
+        rec = codec.api.decode_image(er, settings)[..., :h, :w]
+        st = metrics.encode_stats(image, er, t_enc, reconstruction=rec)
+        print(st.to_json())
     return 0
 
 
@@ -99,6 +149,7 @@ def cmd_progressive(args) -> int:
     if args.bpp <= 0:
         print("error: --bpp must be > 0", file=sys.stderr)
         return 2
+    _apply_backend(args)
     image = imload(args.image)
     c, h, w = image.shape
     settings = _settings_from_args(args)
@@ -143,6 +194,12 @@ def main(argv=None) -> int:
     p1.add_argument("--out", default=None, help="save reconstruction here")
     _add_codec_args(p1)
     p1.set_defaults(fn=cmd_encode_decode)
+
+    p3 = sub.add_parser("sweep", help="rate-distortion sweep (JSON lines)")
+    p3.add_argument("image")
+    p3.add_argument("--bpps", default="0.075,0.1,0.25,0.5,1.0")
+    _add_codec_args(p3)
+    p3.set_defaults(fn=cmd_sweep)
 
     p2 = sub.add_parser("progressive", help="progressive-decode GIF")
     p2.add_argument("image")

@@ -256,6 +256,18 @@ def decode_images(encoding_results, spiht_settings: SpihtSettings):
             out = transform.inverse(batch, h, w, level, spiht_settings)
             for bi, i in enumerate(idxs):
                 images[i] = np.asarray(out[bi])
+    elif transform.get_backend() == "native" and nat is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def inv(i):
+            er = encoding_results[i]
+            return i, transform.inverse(
+                recs[i], er.h, er.w, er.level, spiht_settings
+            )
+
+        with ThreadPoolExecutor() as pool:
+            for i, im in pool.map(inv, range(n)):
+                images[i] = im
     else:
         # the numpy reference inverse is single-image (slice indexing)
         for i, er in enumerate(encoding_results):

@@ -1,0 +1,90 @@
+"""CLI subcommands and the metrics module, driven end-to-end on a small
+synthetic image with the native backend."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spiht_tpu import SpihtSettings, cli, metrics
+from spiht_tpu import encode_image, decode_image
+from spiht_tpu.utils import imsave
+
+
+@pytest.fixture()
+def png(tmp_path, rng):
+    im = rng.random((3, 64, 80))
+    path = str(tmp_path / "t.png")
+    imsave(path, im)
+    return path
+
+
+def test_cli_encode_decode(png, tmp_path, capsys):
+    out = str(tmp_path / "rec.png")
+    rc = cli.main(
+        ["encode-decode", png, "--bpp", "1.0", "--out", out,
+         "--backend", "native", "--stats"]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    captured = capsys.readouterr().out
+    assert "PSNR" in captured
+    assert "bits per plane" in captured
+
+
+def test_cli_rejects_bad_bpp(png, capsys):
+    assert cli.main(["encode-decode", png, "--bpp", "-1"]) == 2
+
+
+def test_cli_sweep_json_lines(png, capsys):
+    rc = cli.main(
+        ["sweep", png, "--bpps", "0.25,1.0", "--backend", "native"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    stats = [json.loads(l) for l in lines]
+    assert len(stats) == 2
+    assert stats[1]["psnr_db"] > stats[0]["psnr_db"]
+    assert stats[1]["bpp"] > stats[0]["bpp"]
+
+
+def test_cli_progressive_gif(png, tmp_path):
+    out = str(tmp_path / "p.gif")
+    rc = cli.main(
+        ["progressive", png, out, "--frames", "4", "--backend", "native"]
+    )
+    assert rc == 0
+    assert os.path.getsize(out) > 0
+
+
+def test_bits_per_plane_total(rng):
+    settings = SpihtSettings()
+    im = rng.random((1, 32, 32))
+    er = encode_image(im, settings, level=2, max_bits=2000)
+    hist = metrics.bits_per_plane(er, settings)
+    # every consumed bit is attributed to exactly one plane; the stream has
+    # len*8 bits of which the decoder consumes all (pad zeros included)
+    assert sum(hist.values()) == len(er.encoded_bytes) * 8
+    assert max(hist) == er.max_n
+
+
+def test_stage_timer():
+    t = metrics.StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert set(rep) == {"a", "b"}
+    assert t.counts["a"] == 2
+    assert "a" in t.pretty()
+
+
+def test_psnr_identity(rng):
+    im = rng.random((3, 16, 16))
+    assert metrics.psnr(im, im) == float("inf")
+    noisy = np.clip(im + 0.1, 0, 1)
+    assert 10 < metrics.psnr(im, noisy) < 30

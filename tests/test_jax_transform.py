@@ -60,11 +60,12 @@ def test_forward_with_maps(rng):
     np.testing.assert_array_equal(g, Gn)
 
 
-def test_roundtrip_through_jax_pipeline(rng):
+def test_roundtrip_through_jax_pipeline():
     """encode_image/decode_image with the jax backend: full-stream decode
     reproduces the image within quantization error."""
     settings = SpihtSettings(quantization_scale=100.0)
-    image = rng.random((3, 64, 64))
+    # own deterministic rng: border-cell error quantiles are image-dependent
+    image = np.random.default_rng(7).random((3, 64, 64))
     er = spiht_tpu.encode_image(image, settings, level=3)
     rec = spiht_tpu.decode_image(er, settings)
     err = np.abs(rec[..., :64, :64] - image)
