@@ -80,6 +80,21 @@ def _forward_jit(key: Tuple, level: Optional[int], with_maps: bool, dtype_name: 
     return jax.jit(f)
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernels: on by default on TPU backends.
+
+    SPIHT_TPU_PALLAS=1/0 overrides. CPU keeps the plain XLA path (Mosaic
+    compiles for TPU only; tests exercise the kernel in interpreter mode).
+    Verified bit-exact against the XLA path on TPU hardware.
+    """
+    import os
+
+    flag = os.environ.get("SPIHT_TPU_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
 @lru_cache(maxsize=None)
 def _forward_compact_jit(key: Tuple, level: Optional[int], dtype_name: str):
     """Like _forward_jit(with_maps=False) but emits an int16-compacted
@@ -91,6 +106,27 @@ def _forward_compact_jit(key: Tuple, level: Optional[int], dtype_name: str):
     the transfer. The (rare) overflow case is detected on device and the
     caller falls back to the full int32 path.
     """
+    wavelet, qscale, mode, color_model, pcs = key
+    dtype = jnp.dtype(dtype_name)
+    if _use_pallas():
+        from .ops.pallas_kernels import quantize_compact_m
+
+        def f(image):
+            image = image.astype(dtype)
+            if color_model is not None:
+                image = jax_models.convert(image, "RGB", color_model)
+            coeffs, _, _ = dwt.wavedec2_packed(image, wavelet, mode, level)
+            if pcs is not None:
+                mults = jnp.asarray(pcs, dtype=dtype)[..., :, None, None]
+                coeffs = coeffs * mults
+            # fused quantize + int16 compaction + overflow in one pass
+            _, arr16, _, overflow = quantize_compact_m(
+                coeffs.astype(jnp.float32), qscale
+            )
+            return arr16, overflow
+
+        return jax.jit(f)
+
     base = _forward_jit(key, level, False, dtype_name)
 
     def f(image):
