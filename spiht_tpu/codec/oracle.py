@@ -79,30 +79,35 @@ def _has_grandchildren(i: int, j: int, h: int, w: int) -> bool:
 
 
 def coverage_mask(h: int, w: int, ll_h: int, ll_w: int) -> np.ndarray:
-    """Boolean (h, w) map of cells reachable by the spatial-orientation tree.
+    """Boolean (h, w) map of cells the codec can ever CODE.
 
-    The SPIHT tree only codes cells reachable from the LL roots. For
-    boundary-padded DWT geometries (odd ll dims, non-doubling level sizes)
-    some border cells are unreachable and silently lost — a known artifact
-    the reference shares (reference: spiht/tests/test_rust.py:52-55). This
-    utility (not present in the reference) makes the coded support explicit:
-    full-stream round-trip is exact exactly on this mask.
+    This models the LIS visit dynamics, not mere offspring reachability:
+    a type-A entry codes its 4 offspring, but those offspring only become
+    type-A entries themselves (allowing their own subtrees to be coded) if
+    the parent re-enters as type B — gated by the raw-coordinate
+    grandchild test `(2i+1)*2+1 < h` (reference encoder_decoder.rs:7-12),
+    which for boundary-padded geometries can cut off grand-subtrees that
+    the offspring relation alone would reach. Cells outside this mask are
+    silently lost — a known artifact the reference shares (reference:
+    spiht/tests/test_rust.py:52-55). Full-stream round-trip is exact
+    exactly on this mask.
     """
     mask = np.zeros((h, w), dtype=bool)
     mask[:ll_h, :ll_w] = True
+    # stack of type-A set entries (cells whose offspring get coded)
     stack = []
     for i in range(ll_h):
         for j in range(ll_w):
-            off = _offspring(i, j, h, w, ll_h, ll_w)
-            if off:
-                stack.extend(off)
+            if not (i % 2 == 0 and j % 2 == 0):
+                stack.append((i, j))
     while stack:
         i, j = stack.pop()
-        if mask[i, j]:
-            continue
-        mask[i, j] = True
         off = _offspring(i, j, h, w, ll_h, ll_w)
-        if off:
+        if not off:
+            continue
+        for l, m in off:
+            mask[l, m] = True
+        if _has_grandchildren(i, j, h, w):
             stack.extend(off)
     return mask
 

@@ -86,6 +86,10 @@ _FORWARD = {
     "cie lab": _lab_from_rgb,
     "lab": _lab_from_rgb,
     "ycbcr": lambda x: _apply_mat(x, _nm.RGB_TO_YCBCR),
+    "oklab": lambda x: _apply_mat(
+        _signed_pow(_apply_mat(x, _nm.RGB_TO_LMS_OKLAB), 1.0 / 3.0),
+        _nm.LMS_TO_OKLAB,
+    ),
     "rgb": lambda x: x,
 }
 _INVERSE = {
@@ -95,6 +99,9 @@ _INVERSE = {
     "cie lab": _rgb_from_lab,
     "lab": _rgb_from_lab,
     "ycbcr": lambda x: _apply_mat(x, _nm.YCBCR_TO_RGB),
+    "oklab": lambda x: _apply_mat(
+        _apply_mat(x, _nm.LMS_FROM_OKLAB) ** 3, _nm.RGB_FROM_LMS_OKLAB
+    ),
     "rgb": lambda x: x,
 }
 

@@ -52,6 +52,26 @@ IPT_EXP = 0.43
 # CIE Lab constants (D65 white)
 D65_WHITE = RGB_TO_XYZ @ np.ones(3)
 
+# Oklab (Björn Ottosson, 2020, public domain): RGB -> LMS -> cbrt -> Lab.
+# Applied to the working RGB values as-is (no CCTF step), consistent with
+# this module's 'RGB' convention.
+RGB_TO_LMS_OKLAB = np.array(
+    [
+        [0.4122214708, 0.5363325363, 0.0514459929],
+        [0.2119034982, 0.6806995451, 0.1073969566],
+        [0.0883024619, 0.2817188376, 0.6299787005],
+    ]
+)
+LMS_TO_OKLAB = np.array(
+    [
+        [0.2104542553, 0.7936177850, -0.0040720468],
+        [1.9779984951, -2.4285922050, 0.4505937099],
+        [0.0259040371, 0.7827717662, -0.8086757660],
+    ]
+)
+LMS_FROM_OKLAB = np.linalg.inv(LMS_TO_OKLAB)
+RGB_FROM_LMS_OKLAB = np.linalg.inv(RGB_TO_LMS_OKLAB)
+
 # ITU-R BT.601 YCbCr (full range)
 RGB_TO_YCBCR = np.array(
     [
@@ -97,6 +117,20 @@ def rgb_from_ipt(im_cl):
     return rgb_from_xyz(xyz_from_ipt(im_cl))
 
 
+def _signed_cbrt(x):
+    return np.sign(x) * np.abs(x) ** (1.0 / 3.0)
+
+
+def oklab_from_rgb(im_cl):
+    lms = _apply_mat(im_cl, RGB_TO_LMS_OKLAB)
+    return _apply_mat(_signed_cbrt(lms), LMS_TO_OKLAB)
+
+
+def rgb_from_oklab(im_cl):
+    lms_p = _apply_mat(im_cl, LMS_FROM_OKLAB)
+    return _apply_mat(lms_p**3, RGB_FROM_LMS_OKLAB)
+
+
 def _lab_f(t):
     d = 6.0 / 29.0
     return np.where(t > d**3, np.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
@@ -130,6 +164,7 @@ _FORWARD = {
     "cie lab": lambda x: lab_from_xyz(xyz_from_rgb(x)),
     "lab": lambda x: lab_from_xyz(xyz_from_rgb(x)),
     "ycbcr": lambda x: _apply_mat(x, RGB_TO_YCBCR),
+    "oklab": oklab_from_rgb,
     "rgb": lambda x: x,
 }
 _INVERSE = {
@@ -139,6 +174,7 @@ _INVERSE = {
     "cie lab": lambda x: rgb_from_xyz(xyz_from_lab(x)),
     "lab": lambda x: rgb_from_xyz(xyz_from_lab(x)),
     "ycbcr": lambda x: _apply_mat(x, YCBCR_TO_RGB),
+    "oklab": rgb_from_oklab,
     "rgb": lambda x: x,
 }
 

@@ -14,6 +14,13 @@ dryrun_multichip exercises exactly that.
 
 from .mesh import batch_sharding, image_sharding, make_mesh
 from .spatial import sharded_dwt2_level1, sharded_wavedec2_packed
+from .distributed import (
+    encode_manifest,
+    host_batch_slice,
+    initialize,
+    load_manifest,
+    merge_manifests,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +28,9 @@ __all__ = [
     "image_sharding",
     "sharded_dwt2_level1",
     "sharded_wavedec2_packed",
+    "initialize",
+    "host_batch_slice",
+    "encode_manifest",
+    "load_manifest",
+    "merge_manifests",
 ]
