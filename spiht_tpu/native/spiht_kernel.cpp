@@ -196,6 +196,10 @@ int spiht_encode(const int32_t* arr, int c, int h, int w, int ll_h, int ll_w,
                  const int8_t* M_in, const int8_t* D_in, const int8_t* G_in,
                  uint8_t** out_data, long long* out_nbits, int* out_max_n) {
     if (ll_h <= 1 || ll_w <= 1) return -1;
+    // LL parity children live at rows/cols up to 2*ll-1; reject geometries
+    // (e.g. level-0 "pyramids") where that exceeds the array — the
+    // reference would panic on the same out-of-bounds index
+    if (2 * ll_h > h || 2 * ll_w > w) return -1;
     const Geo g{h, w, ll_h, ll_w};
     const long long plane = (long long)h * w;
     const long long total = (long long)c * plane;
@@ -410,6 +414,10 @@ int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
                  int with_meta, int32_t* meta, const int32_t* top_slice,
                  const int32_t* other_slices, int level) {
     if (ll_h <= 1 || ll_w <= 1) return -1;
+    // LL parity children live at rows/cols up to 2*ll-1; reject geometries
+    // (e.g. level-0 "pyramids") where that exceeds the array — the
+    // reference would panic on the same out-of-bounds index
+    if (2 * ll_h > h || 2 * ll_w > w) return -1;
     const Geo g{h, w, ll_h, ll_w};
     const long long plane = (long long)h * w;
     std::memset(rec, 0, sizeof(int32_t) * (long long)c * plane);

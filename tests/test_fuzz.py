@@ -75,6 +75,19 @@ def test_fuzz_full_stream_roundtrip_exact_on_coverage():
         np.testing.assert_array_equal(rec[:, mask], arr[:, mask])
 
 
+def test_rejects_level0_geometry():
+    """ll dims spanning the whole array (level-0 'pyramid') would index the
+    LL parity children out of bounds; the kernel must reject, not UB."""
+    nat = runtime.load()
+    arr = np.ones((1, 8, 8), dtype=np.int32)
+    with pytest.raises(ValueError):
+        nat.encode(arr, 8, 8, 1000)
+    with pytest.raises(ValueError):
+        nat.encode(arr, 5, 5, 1000)  # 2*5 > 8
+    with pytest.raises(ValueError):
+        nat.decode(b"\x00" * 4, 3, 1, 8, 8, 8, 8)
+
+
 def test_fuzz_extreme_values():
     nat = runtime.load()
     rng = np.random.default_rng(5)
