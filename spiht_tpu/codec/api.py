@@ -156,15 +156,44 @@ def encode_images(
     lls = [None] * n
     backend = transform.get_backend()
     if backend == "jax":
+        import jax
+        import jax.numpy as jnp
+
         from .. import jax_transform
 
         # int16-compacted transfer; significance maps are recomputed by the
         # native kernel in O(N) (cheaper than shipping them over d2h).
+        # Pipelined: all shape-groups are dispatched to the device first
+        # (async), then all device->host copies started, then results are
+        # consumed in order — so the serial bit scheduling of group k
+        # overlaps the in-flight transfers/compute of groups k+1...
+        launched = []
         for shape, idxs in groups.items():
-            batch = np.stack([images[i] for i in idxs])
-            arr, ll_h, ll_w = jax_transform.forward_compact(
-                batch, spiht_settings, level
+            slices, _, _ = get_slices_and_h_w(
+                shape[-2], shape[-1], spiht_settings, level
             )
+            ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+            fn = jax_transform._forward_compact_jit(
+                jax_transform._settings_key(spiht_settings),
+                level,
+                str(np.dtype(jax_transform.default_dtype()).name),
+            )
+            batch = np.stack([images[i] for i in idxs])
+            arr16, overflow = fn(jnp.asarray(batch))
+            launched.append((idxs, ll_h, ll_w, batch, arr16, overflow))
+        for _, _, _, _, arr16, _ in launched:
+            try:
+                arr16.copy_to_host_async()
+            except AttributeError:
+                pass
+        for idxs, ll_h, ll_w, batch, arr16, overflow in launched:
+            if bool(overflow):
+                # rare: coefficients exceed int16 — full-precision fallback
+                arr, _, _ = jax_transform.forward(
+                    batch, spiht_settings, level
+                )
+            else:
+                arr = np.asarray(arr16).astype(np.int32)
             for bi, i in enumerate(idxs):
                 arrs[i] = arr[bi]
                 lls[i] = (ll_h, ll_w)

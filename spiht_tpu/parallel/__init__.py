@@ -14,6 +14,7 @@ dryrun_multichip exercises exactly that.
 
 from .mesh import batch_sharding, image_sharding, make_mesh
 from .spatial import sharded_dwt2_level1, sharded_wavedec2_packed
+from .codec import encode_image_sharded
 from .distributed import (
     encode_manifest,
     host_batch_slice,
@@ -28,6 +29,7 @@ __all__ = [
     "image_sharding",
     "sharded_dwt2_level1",
     "sharded_wavedec2_packed",
+    "encode_image_sharded",
     "initialize",
     "host_batch_slice",
     "encode_manifest",

@@ -72,6 +72,47 @@ def test_sharded_rejects_bad_widths(rng):
         sharded_dwt2_level1(x, "bior6.8", "symmetric", mesh)
 
 
+def test_encode_image_sharded_matches_single_device(rng):
+    """Full sharded encode of one image == the single-device jax encode,
+    byte for byte."""
+    import spiht_tpu
+    from spiht_tpu import transform
+    from spiht_tpu.parallel import encode_image_sharded
+    from spiht_tpu.settings import SpihtSettings
+
+    mesh = _mesh(1, 4)
+    settings = SpihtSettings(
+        color_model="ipt", per_channel_quant_scales=[100, 20, 20],
+        quantization_scale=1.0,
+    )
+    im = rng.random((3, 48, 96))
+    er_sharded = encode_image_sharded(
+        im, settings, mesh, level=2, max_bits=8000
+    )
+    old = transform._BACKEND
+    transform._BACKEND = "jax"
+    try:
+        er_single = spiht_tpu.encode_image(im, settings, level=2, max_bits=8000)
+    finally:
+        transform._BACKEND = old
+    assert er_sharded.encoded_bytes == er_single.encoded_bytes
+    assert er_sharded.max_n == er_single.max_n
+    # and it decodes
+    rec = spiht_tpu.decode_image(er_sharded, settings)
+    assert rec.shape[-2] >= 48
+
+
+def test_sharded_wavedec2_wide_image(rng):
+    """Config-5 shape: a wide image over 8 shards, multilevel, exact."""
+    mesh = _mesh(1, 8)
+    x = rng.standard_normal((1, 64, 2048))
+    ref, _, _ = dwt.wavedec2_packed(jnp.asarray(x), "bior2.2", "reflect", 4)
+    out, _, _ = sharded_wavedec2_packed(
+        jnp.asarray(x), "bior2.2", "reflect", 4, mesh
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_batch_sharded_analysis(rng):
     """Batch-DP through the jitted analysis program on the mesh."""
     from spiht_tpu import jax_transform
