@@ -178,7 +178,8 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         // rows pass: for each of ah rows, conv width aw -> tmp1 rows of
         // [cA | cD] each ow... store cA rows into tmp1 (ah x ow) and cD
         // rows into tmp2 (ah x ow)
-        std::vector<double> extbuf((size_t)std::max(ah, aw) + 2 * F);
+        static thread_local std::vector<double> extbuf;
+        extbuf.resize((size_t)std::max(ah, aw) + 2 * F);
         for (long long r = 0; r < ah; r++) {
             dwt_row(a_buf + r * aw, aw, lo_rev, hi_rev, F, mode,
                     tmp1 + r * ow, tmp2 + r * ow, ow, extbuf.data());
@@ -189,9 +190,10 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         double* tT = a_buf;
         // a branch
         transpose(tmp1, ah, ow, tT);            // ow x ah
-        std::vector<double> aa((size_t)oh * ow), ad((size_t)oh * ow),
-            da((size_t)oh * ow), dd((size_t)oh * ow);
-        std::vector<double> colA((size_t)oh), colD((size_t)oh);
+        static thread_local std::vector<double> aa, ad, da, dd, colA, colD;
+        aa.resize((size_t)oh * ow); ad.resize((size_t)oh * ow);
+        da.resize((size_t)oh * ow); dd.resize((size_t)oh * ow);
+        colA.resize((size_t)oh); colD.resize((size_t)oh);
         for (long long c = 0; c < ow; c++) {
             dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
                     colD.data(), oh, extbuf.data());
@@ -251,9 +253,13 @@ int spiht_dwt_forward(const double* img, int C, long long h, long long w,
         lo_rev[t] = dec_lo[F - 1 - t];
         hi_rev[t] = dec_hi[F - 1 - t];
     }
-    std::vector<double> packed((size_t)ph * pw);
-    std::vector<double> a_buf((size_t)h * w), tmp1((size_t)h * w),
-        tmp2((size_t)h * w);
+    // thread_local scratch: fresh multi-MB allocations per call cost more
+    // in page faults than the transform itself under the batch thread pool
+    static thread_local std::vector<double> packed, a_buf, tmp1, tmp2;
+    packed.resize((size_t)ph * pw);
+    a_buf.resize((size_t)h * w);
+    tmp1.resize((size_t)h * w);
+    tmp2.resize((size_t)h * w);
     std::vector<long long> lvl_h(levels), lvl_w(levels);
     for (int c = 0; c < C; c++) {
         std::fill(packed.begin(), packed.end(), 0.0);
@@ -349,8 +355,9 @@ static void waverec2_channel(const double* packed, long long pw_row,
         }
         // H-axis pass per column: a-branch = b_buf col, d-branch = t_buf col
         // write into a_buf (oh x ow). Use column scratch.
-        std::vector<double> colA((size_t)dh), colD((size_t)dh),
-            colO((size_t)oh);
+        static thread_local std::vector<double> colA, colD, colO;
+        colA.resize((size_t)dh); colD.resize((size_t)dh);
+        colO.resize((size_t)oh);
         for (long long c = 0; c < ow; c++) {
             for (long long r = 0; r < dh; r++) {
                 colA[r] = r < ch ? b_buf[r * ow + c] : 0.0;
@@ -378,10 +385,12 @@ int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
                       const double* chan_scales, double q_scale,
                       double* out, long long out_h, long long out_w) {
     if (levels < 1) return -1;
-    // scratch sized to the final plane (grows monotonically per level)
-    std::vector<double> packed((size_t)ph * pw);
-    std::vector<double> a_buf((size_t)out_h * out_w),
-        b_buf((size_t)out_h * out_w), t_buf((size_t)out_h * out_w);
+    // thread_local scratch sized to the final plane (see forward)
+    static thread_local std::vector<double> packed, a_buf, b_buf, t_buf;
+    packed.resize((size_t)ph * pw);
+    a_buf.resize((size_t)out_h * out_w);
+    b_buf.resize((size_t)out_h * out_w);
+    t_buf.resize((size_t)out_h * out_w);
     for (int c = 0; c < C; c++) {
         const double s = 1.0 / ((chan_scales ? chan_scales[c] : 1.0) * q_scale);
         const int32_t* src = arr + (size_t)c * ph * pw;
