@@ -91,6 +91,20 @@ def decode_with_metadata(
     )
 
 
+def _validate_image(image: np.ndarray) -> None:
+    if image.ndim != 3:
+        raise ValueError("image ndim must be 3: c,h,w")
+    import os
+
+    if os.environ.get("SPIHT_TPU_VALIDATE") == "1" and not np.isfinite(
+        image
+    ).all():
+        # NaN/Inf would silently corrupt quantization (NaN -> 0 via the
+        # int cast but poison neighboring DWT taps); opt-in guard since
+        # the check costs a full pass over the input
+        raise ValueError("image contains NaN/Inf")
+
+
 def encode_image(
     image: np.ndarray,
     spiht_settings: SpihtSettings = SpihtSettings(),
@@ -102,8 +116,7 @@ def encode_image(
     image: (C,H,W) float ndarray.
     """
     image = np.asarray(image)
-    if image.ndim != 3:
-        raise ValueError("image ndim must be 3: c,h,w")
+    _validate_image(image)
     c, h, w = image.shape
 
     arr, ll_h, ll_w = transform.forward(image, spiht_settings, level)
@@ -142,8 +155,7 @@ def encode_images(
     if len(mb) != n:
         raise ValueError("max_bits sequence length != number of images")
     for im in images:
-        if im.ndim != 3:
-            raise ValueError("each image must be (c, h, w)")
+        _validate_image(im)
 
     nat = _native()
 
