@@ -73,14 +73,14 @@ def main() -> None:
     # float64 host DWT (pywt-equivalent numpy path) + recursive zerotree
     # encoder (use_maps=0), one image at a time, one thread.
     log("baseline: single-core recursive encoder + f64 host DWT ...")
-    t0 = time.perf_counter()
-    base_reps = 2
-    for r in range(base_reps):
+    t_base = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
         arr, ll_h, ll_w = transform.forward_numpy(images[0], settings, LEVEL)
         nat.encode(arr, ll_h, ll_w, max_bits, use_maps=False)
-    t_base = (time.perf_counter() - t0) / base_reps
+        t_base = min(t_base, time.perf_counter() - t0)
     base_mpps = H * W * 1e-6 / t_base
-    log(f"baseline: {t_base*1e3:.1f} ms/image = {base_mpps:.2f} MP/s")
+    log(f"baseline (best of 3): {t_base*1e3:.1f} ms/image = {base_mpps:.2f} MP/s")
 
     # ---- ours: framework batched pipeline -------------------------------
     # The runtime picks the best pipeline for the host. Two are measured:
@@ -96,7 +96,7 @@ def main() -> None:
             list(images), settings, level=LEVEL, max_bits=max_bits
         )
 
-    def measure(tag, reps=REPS, budget_s=None):
+    def measure(tag, reps=REPS, budget_s=None, windows=3):
         t0 = time.perf_counter()
         results = run_once()
         warm = time.perf_counter() - t0
@@ -108,25 +108,41 @@ def main() -> None:
             mpps = BATCH * H * W * 1e-6 / warm
             log(f"{tag}: over budget, using warmup rate = {mpps:.2f} MP/s")
             return mpps
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            run_once()
-        dt = time.perf_counter() - t0
-        mpps = reps * BATCH * H * W * 1e-6 / dt
-        log(f"{tag}: {dt/reps*1e3:.1f} ms/batch = {mpps:.2f} MP/s")
-        return mpps
+        # best of several short windows: this shared VM shows 2-3x
+        # run-to-run noise, and the least-interfered window is the honest
+        # estimate of the pipeline's rate
+        best = 0.0
+        for wnd in range(windows):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                run_once()
+            dt = time.perf_counter() - t0
+            mpps = reps * BATCH * H * W * 1e-6 / dt
+            log(f"{tag} window {wnd}: {dt/reps*1e3:.1f} ms/batch "
+                f"= {mpps:.2f} MP/s")
+            best = max(best, mpps)
+        log(f"{tag}: best {best:.2f} MP/s")
+        return best
 
     transform._BACKEND = "native"
     native_mpps = measure("native pipeline")
 
+    # The jax/TPU pipeline measurement is opt-in (SPIHT_BENCH_JAX=1): on
+    # this tunneled dev chip it is d2h-bound (~20 MB/s) and its remote
+    # compile takes 1-6 min with high variance, which would dominate the
+    # driver's benchmark window without changing the reported best
+    # pipeline. Device-side TPU rates are benchmarked separately in
+    # BASELINE.md, and the TPU path is compile-checked by __graft_entry__.
     jax_mpps = 0.0
-    if os.environ.get("SPIHT_BENCH_SKIP_JAX") != "1":
+    if os.environ.get("SPIHT_BENCH_JAX") == "1":
         try:
             import jax
 
             log(f"jax devices: {jax.devices()}")
             transform._BACKEND = "jax"
-            jax_mpps = measure("jax/TPU pipeline", reps=1, budget_s=150)
+            jax_mpps = measure(
+                "jax/TPU pipeline", reps=1, budget_s=150, windows=2
+            )
         except Exception as e:
             log(f"jax pipeline unavailable: {type(e).__name__}: {e}")
 

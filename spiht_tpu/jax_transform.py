@@ -140,7 +140,12 @@ def _forward_compact_jit(key: Tuple, level: Optional[int], dtype_name: str):
 
 @lru_cache(maxsize=None)
 def _inverse_jit(
-    key: Tuple, h: int, w: int, level: Optional[int], dtype_name: str
+    key: Tuple,
+    h: int,
+    w: int,
+    level: Optional[int],
+    dtype_name: str,
+    as_uint8: bool = False,
 ):
     wavelet, qscale, mode, color_model, pcs = key
     dtype = jnp.dtype(dtype_name)
@@ -169,6 +174,12 @@ def _inverse_jit(
         image = dwt.waverec2(coeffs, wavelet, mode)
         if color_model is not None:
             image = jax_models.convert(image, color_model, "RGB")
+        if as_uint8:
+            # display-ready output: 4x less device->host transfer on
+            # bandwidth-bound (tunneled) setups
+            image = jnp.round(
+                jnp.clip(image, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
         return image
 
     return jax.jit(f)
@@ -198,11 +209,13 @@ def synthesis_fn(
     w: int,
     level: Optional[int] = None,
     dtype: Optional[str] = None,
+    as_uint8: bool = False,
 ):
     """The jitted device-side decode step: rec_arr i32 -> image(s)."""
     dtype = dtype or str(np.dtype(default_dtype()).name)
     return _inverse_jit(
-        _settings_key(settings), h, w, level, str(np.dtype(dtype).name)
+        _settings_key(settings), h, w, level, str(np.dtype(dtype).name),
+        as_uint8,
     )
 
 
