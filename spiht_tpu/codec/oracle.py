@@ -176,12 +176,18 @@ def _init_lists(c: int, ll_h: int, ll_w: int):
 
 
 def encode_bits(
-    arr: np.ndarray, ll_h: int, ll_w: int, max_bits: int
+    arr: np.ndarray,
+    ll_h: int,
+    ll_w: int,
+    max_bits: int,
+    plane_counts: Optional[dict] = None,
 ) -> Tuple[List[bool], int]:
     """SPIHT-encode an i32 coefficient array into a list of bits.
 
     Returns (bits, max_n). The encoder stops mid-symbol exactly when the bit
-    count reaches ``max_bits`` (SURVEY.md §3.6 bit budget).
+    count reaches ``max_bits`` (SURVEY.md §3.6 bit budget). If a dict is
+    passed as ``plane_counts`` it is filled with {plane n: bits emitted} —
+    ground truth for the device-side stream planner.
     """
     arr = np.ascontiguousarray(arr, dtype=np.int64)
     c, h, w = arr.shape
@@ -196,6 +202,8 @@ def encode_bits(
 
     def push(b: bool) -> bool:
         bits.append(bool(b))
+        if plane_counts is not None:
+            plane_counts[n] = plane_counts.get(n, 0) + 1
         return len(bits) == max_bits
 
     while True:

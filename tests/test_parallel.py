@@ -23,8 +23,11 @@ def _mesh(dp, sp):
     return make_mesh((dp, sp))
 
 
-@pytest.mark.parametrize("wavelet,mode", [("bior2.2", "reflect"), ("bior6.8", "symmetric")])
-@pytest.mark.parametrize("sp", [2, 8])
+# NOTE: each (wavelet, sp) pair compiles a fresh 8-way SPMD program on
+# CPU (~1 min each) — parameterizations are deliberately minimal
+@pytest.mark.parametrize(
+    "wavelet,mode,sp", [("bior2.2", "reflect", 2), ("bior6.8", "symmetric", 8)]
+)
 def test_sharded_level1_exact(rng, wavelet, mode, sp):
     mesh = _mesh(1, sp)
     # shard width must be >= filter length (18 for bior6.8)
@@ -38,7 +41,7 @@ def test_sharded_level1_exact(rng, wavelet, mode, sp):
         np.testing.assert_array_equal(np.asarray(out[k]), np.asarray(ref[k]))
 
 
-@pytest.mark.parametrize("level", [1, 3])
+@pytest.mark.parametrize("level", [3])
 def test_sharded_wavedec2_packed_exact(rng, level):
     mesh = _mesh(1, 4)
     x = rng.standard_normal((3, 48, 96))
@@ -105,7 +108,7 @@ def test_encode_image_sharded_matches_single_device(rng):
 def test_sharded_wavedec2_wide_image(rng):
     """Config-5 shape: a wide image over 8 shards, multilevel, exact."""
     mesh = _mesh(1, 8)
-    x = rng.standard_normal((1, 64, 2048))
+    x = rng.standard_normal((1, 32, 1024))
     ref, _, _ = dwt.wavedec2_packed(jnp.asarray(x), "bior2.2", "reflect", 4)
     out, _, _ = sharded_wavedec2_packed(
         jnp.asarray(x), "bior2.2", "reflect", 4, mesh
