@@ -181,13 +181,18 @@ def encode_bits(
     ll_w: int,
     max_bits: int,
     plane_counts: Optional[dict] = None,
+    events: Optional[list] = None,
 ) -> Tuple[List[bool], int]:
     """SPIHT-encode an i32 coefficient array into a list of bits.
 
     Returns (bits, max_n). The encoder stops mid-symbol exactly when the bit
     count reaches ``max_bits`` (SURVEY.md §3.6 bit budget). If a dict is
-    passed as ``plane_counts`` it is filled with {plane n: bits emitted} —
-    ground truth for the device-side stream planner.
+    passed as ``plane_counts`` it is filled with {plane n: bits emitted};
+    if a list is passed as ``events`` it receives one
+    (action, k, i, j, n) tuple per emitted bit (action ids follow the
+    metadata taxonomy: 0 lip-test, 1 lip-sign, 2 A-test, 3 offspring-test,
+    4 offspring-sign, 5 B-test, 6 refinement) — ground truth for the
+    device-side stream planner and order prototype.
     """
     arr = np.ascontiguousarray(arr, dtype=np.int64)
     c, h, w = arr.shape
@@ -200,10 +205,19 @@ def encode_bits(
     lip, lis = _init_lists(c, ll_h, ll_w)
     lsp: deque = deque()
 
+    _ev = [None]
+
+    def note(action, k, i, j):
+        if events is not None:
+            _ev[0] = (action, k, i, j)
+
     def push(b: bool) -> bool:
         bits.append(bool(b))
         if plane_counts is not None:
             plane_counts[n] = plane_counts.get(n, 0) + 1
+        if events is not None:
+            a, k, i, j = _ev[0]
+            events.append((a, k, i, j, n))
         return len(bits) == max_bits
 
     while True:
@@ -214,10 +228,12 @@ def encode_bits(
         for k, i, j in lip:
             x = int(arr[k, i, j])
             sig = _is_sig(x, n)
+            note(0, k, i, j)
             if push(sig):
                 return bits, max_n
             if sig:
                 lsp.append((k, i, j))
+                note(1, k, i, j)
                 if push(x >= 0):
                     return bits, max_n
             else:
@@ -236,16 +252,19 @@ def encode_bits(
                         if _set_sig(arr, k, l, m, n, h, w, ll_h, ll_w):
                             desc_sig = True
                             break
+                note(2, k, i, j)
                 if push(desc_sig):
                     return bits, max_n
                 if desc_sig:
                     for l, m in off:
                         x = int(arr[k, l, m])
                         sig = _is_sig(x, n)
+                        note(3, k, l, m)
                         if push(sig):
                             return bits, max_n
                         if sig:
                             lsp.append((k, l, m))
+                            note(4, k, l, m)
                             if push(x >= 0):
                                 return bits, max_n
                         else:
@@ -256,6 +275,7 @@ def encode_bits(
                     lis_retain.append((t, k, i, j))
             else:  # type B
                 lsig = _l_sig(arr, k, i, j, n, h, w, ll_h, ll_w)
+                note(5, k, i, j)
                 if push(lsig):
                     return bits, max_n
                 if lsig:
@@ -268,6 +288,7 @@ def encode_bits(
         # --- refinement pass (entries significant before this plane) ---
         for idx in range(lsp_len):
             k, i, j = lsp[idx]
+            note(6, k, i, j)
             if push(_is_bit_set(int(arr[k, i, j]), n)):
                 return bits, max_n
 
