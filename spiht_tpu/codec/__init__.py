@@ -1,1 +1,1 @@
-from . import oracle
+from . import api, maps, oracle, planning

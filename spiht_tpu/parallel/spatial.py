@@ -43,12 +43,31 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax>=0.4.35 top-level, older: experimental
-    from jax import shard_map as _shard_map_mod
+import inspect
 
-    shard_map = _shard_map_mod.shard_map  # type: ignore[attr-defined]
-except (ImportError, AttributeError):
-    from jax.experimental.shard_map import shard_map  # type: ignore
+try:  # jax>=0.8: top-level function; older: experimental module
+    from jax import shard_map as _shard_map  # type: ignore[attr-defined]
+except ImportError:
+    from jax.experimental.shard_map import shard_map as _shard_map  # type: ignore
+
+# replication checking kwarg was renamed check_rep -> check_vma in jax 0.8;
+# outputs here are all_gather-reassembled (identical on every shard) but the
+# varying-axis tracker can't see that, so it must be disabled either way
+_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in inspect.signature(_shard_map).parameters
+    else "check_rep"
+)
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    return _shard_map(
+        f,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        **{_CHECK_KW: False},
+    )
 
 from ..wavelets import dwt
 from ..wavelets.filters import Wavelet, build_wavelet, dwt_coeff_len
@@ -148,7 +167,6 @@ def sharded_dwt2_level1(
         mesh=mesh,
         in_specs=(in_spec,),
         out_specs=(out_spec,) * 4,
-        check_rep=False,
     )(x)
     # note pywt key convention (dwt2): first char = row axis
     return {"aa": aa, "ad": ad, "da": da, "dd": dd}
