@@ -315,13 +315,14 @@ extern "C" int spiht_dwt_forward_f32(const float* img, int C, long long h, long 
 //   out_len = 2n - F + 2, summed over the (cA, rec_lo), (cD, rec_hi) pair.
 // ---------------------------------------------------------------------------
 
-static void idwt_row(const double* a, const double* d, long long n,
-                     const double* lo, const double* hi, int F, double* out,
+template <typename T>
+static void idwt_row(const T* a, const T* d, long long n,
+                     const T* lo, const T* hi, int F, T* out,
                      long long out_len) {
     const long long n_even = (out_len + 1) / 2;
     const long long n_odd = out_len / 2;
     for (long long m = 0; m < n_even; m++) {
-        double s = 0.0;
+        T s = (T)0;
         for (int u = 0; 2 * u + 1 < F; u++) {
             const long long i = m + u;
             if (i < n) s += a[i] * lo[F - 2 - 2 * u] + d[i] * hi[F - 2 - 2 * u];
@@ -329,7 +330,7 @@ static void idwt_row(const double* a, const double* d, long long n,
         out[2 * m] = s;
     }
     for (long long m = 0; m < n_odd; m++) {
-        double s = 0.0;
+        T s = (T)0;
         for (int v = 0; 2 * v < F; v++) {
             const long long i = m + v;
             if (i < n) s += a[i] * lo[F - 1 - 2 * v] + d[i] * hi[F - 1 - 2 * v];
@@ -342,18 +343,19 @@ static void idwt_row(const double* a, const double* d, long long n,
 // lvl arrays are coarse->fine per level: detail block start offsets and
 // dims in the packed array (from the Python geometry module).
 // a_buf/b_buf/t_buf: scratch >= out_h*out_w each.
-static void waverec2_channel(const double* packed, long long pw_row,
-                             const double* rec_lo, const double* rec_hi,
+template <typename T>
+static void waverec2_channel(const T* packed, long long pw_row,
+                             const T* rec_lo, const T* rec_hi,
                              int F, int levels, long long ll_h, long long ll_w,
                              const long long* lvl_sh, const long long* lvl_sw,
                              const long long* lvl_dh, const long long* lvl_dw,
-                             double* a_buf, double* b_buf, double* t_buf,
+                             T* a_buf, T* b_buf, T* t_buf,
                              long long* fin_h, long long* fin_w) {
     // current approximation in a_buf (ah x aw)
     long long ah = ll_h, aw = ll_w;
     for (long long r = 0; r < ah; r++)
         std::memcpy(a_buf + r * aw, packed + r * pw_row,
-                    sizeof(double) * aw);
+                    sizeof(T) * aw);
 
     for (int l = 0; l < levels; l++) {
         const long long sh = lvl_sh[l], sw = lvl_sw[l];
@@ -366,7 +368,7 @@ static void waverec2_channel(const double* packed, long long pw_row,
         if (cw != aw) {
             for (long long r = 0; r < ch; r++)
                 std::memmove(a_buf + r * cw, a_buf + r * aw,
-                             sizeof(double) * cw);
+                             sizeof(T) * cw);
         }
         const long long ow = 2 * dw - F + 2;   // width after W-axis idwt
         const long long oh = 2 * dh - F + 2;   // height after H-axis idwt
@@ -382,20 +384,24 @@ static void waverec2_channel(const double* packed, long long pw_row,
                      packed + (sh + r) * pw_row + sw, dw, rec_lo, rec_hi, F,
                      t_buf + r * ow, ow);
         }
-        // H-axis pass per column: a-branch = b_buf col, d-branch = t_buf col
-        // write into a_buf (oh x ow). Use column scratch.
-        static thread_local std::vector<double> colA, colD, colO;
-        colA.resize((size_t)dh); colD.resize((size_t)dh);
-        colO.resize((size_t)oh);
-        for (long long c = 0; c < ow; c++) {
-            for (long long r = 0; r < dh; r++) {
-                colA[r] = r < ch ? b_buf[r * ow + c] : 0.0;
-                colD[r] = t_buf[r * ow + c];
-            }
-            idwt_row(colA.data(), colD.data(), dh, rec_lo, rec_hi, F,
-                     colO.data(), oh);
-            for (long long r = 0; r < oh; r++) a_buf[r * ow + c] = colO[r];
+        // H-axis pass: transpose both branches so the synthesis runs on
+        // contiguous rows (the strided column walk dominated decode time),
+        // then transpose the result back into a_buf (oh x ow).
+        static thread_local std::vector<T> aT, dT, oT;
+        aT.resize((size_t)ow * dh);
+        dT.resize((size_t)ow * dh);
+        oT.resize((size_t)ow * oh);
+        // b_buf has ch (== dh after crop) rows; zero-fill any gap
+        if (ch < dh) {
+            std::memset(b_buf + ch * ow, 0, sizeof(T) * (dh - ch) * ow);
         }
+        transpose(b_buf, dh, ow, aT.data());   // ow x dh
+        transpose(t_buf, dh, ow, dT.data());
+        for (long long c = 0; c < ow; c++) {
+            idwt_row(aT.data() + c * dh, dT.data() + c * dh, dh, rec_lo,
+                     rec_hi, F, oT.data() + c * oh, oh);
+        }
+        transpose(oT.data(), ow, oh, a_buf);   // oh x ow
         ah = oh;
         aw = ow;
     }
@@ -406,6 +412,44 @@ static void waverec2_channel(const double* packed, long long pw_row,
 // Full inverse: packed (C, ph, pw) i32 -> (C, out_h, out_w) f64 image
 // plane stack (before inverse color conversion, which stays in Python).
 // lvl_* arrays are per level coarse->fine, length `levels`.
+template <typename T>
+static int dwt_inverse_impl(const int32_t* arr, int C, long long ph,
+                            long long pw, const double* rec_lo,
+                            const double* rec_hi, int F, int levels,
+                            long long ll_h, long long ll_w,
+                            const long long* lvl_sh, const long long* lvl_sw,
+                            const long long* lvl_dh, const long long* lvl_dw,
+                            const double* chan_scales, double q_scale,
+                            T* out, long long out_h, long long out_w) {
+    if (levels < 1) return -1;
+    std::vector<T> lo(F), hi(F);
+    for (int t = 0; t < F; t++) {
+        lo[t] = (T)rec_lo[t];
+        hi[t] = (T)rec_hi[t];
+    }
+    // thread_local scratch sized to the final plane (see forward)
+    static thread_local std::vector<T> packed, a_buf, b_buf, t_buf;
+    packed.resize((size_t)ph * pw);
+    a_buf.resize((size_t)out_h * out_w);
+    b_buf.resize((size_t)out_h * out_w);
+    t_buf.resize((size_t)out_h * out_w);
+    for (int c = 0; c < C; c++) {
+        const T s = (T)(1.0 / ((chan_scales ? chan_scales[c] : 1.0) * q_scale));
+        const int32_t* src = arr + (size_t)c * ph * pw;
+        for (size_t t = 0; t < (size_t)ph * pw; t++)
+            packed[t] = (T)src[t] * s;
+        long long fh = 0, fw = 0;
+        waverec2_channel<T>(packed.data(), pw, lo.data(), hi.data(), F,
+                            levels, ll_h, ll_w, lvl_sh, lvl_sw, lvl_dh,
+                            lvl_dw, a_buf.data(), b_buf.data(), t_buf.data(),
+                            &fh, &fw);
+        if (fh != out_h || fw != out_w) return -2;
+        std::memcpy(out + (size_t)c * out_h * out_w, a_buf.data(),
+                    sizeof(T) * out_h * out_w);
+    }
+    return 0;
+}
+
 extern "C" int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long long pw,
                       const double* rec_lo, const double* rec_hi, int F,
                       int levels, long long ll_h, long long ll_w,
@@ -413,26 +457,24 @@ extern "C" int spiht_dwt_inverse(const int32_t* arr, int C, long long ph, long l
                       const long long* lvl_dh, const long long* lvl_dw,
                       const double* chan_scales, double q_scale,
                       double* out, long long out_h, long long out_w) {
-    if (levels < 1) return -1;
-    // thread_local scratch sized to the final plane (see forward)
-    static thread_local std::vector<double> packed, a_buf, b_buf, t_buf;
-    packed.resize((size_t)ph * pw);
-    a_buf.resize((size_t)out_h * out_w);
-    b_buf.resize((size_t)out_h * out_w);
-    t_buf.resize((size_t)out_h * out_w);
-    for (int c = 0; c < C; c++) {
-        const double s = 1.0 / ((chan_scales ? chan_scales[c] : 1.0) * q_scale);
-        const int32_t* src = arr + (size_t)c * ph * pw;
-        for (size_t t = 0; t < (size_t)ph * pw; t++)
-            packed[t] = (double)src[t] * s;
-        long long fh = 0, fw = 0;
-        waverec2_channel(packed.data(), pw, rec_lo, rec_hi, F, levels, ll_h,
-                         ll_w, lvl_sh, lvl_sw, lvl_dh, lvl_dw, a_buf.data(),
-                         b_buf.data(), t_buf.data(), &fh, &fw);
-        if (fh != out_h || fw != out_w) return -2;
-        std::memcpy(out + (size_t)c * out_h * out_w, a_buf.data(),
-                    sizeof(double) * out_h * out_w);
-    }
-    return 0;
+    return dwt_inverse_impl<double>(arr, C, ph, pw, rec_lo, rec_hi, F,
+                                    levels, ll_h, ll_w, lvl_sh, lvl_sw,
+                                    lvl_dh, lvl_dw, chan_scales, q_scale,
+                                    out, out_h, out_w);
+}
+
+// f32 speed mode (see spiht_dwt_forward_f32)
+extern "C" int spiht_dwt_inverse_f32(const int32_t* arr, int C, long long ph,
+                      long long pw, const double* rec_lo,
+                      const double* rec_hi, int F, int levels,
+                      long long ll_h, long long ll_w,
+                      const long long* lvl_sh, const long long* lvl_sw,
+                      const long long* lvl_dh, const long long* lvl_dw,
+                      const double* chan_scales, double q_scale,
+                      float* out, long long out_h, long long out_w) {
+    return dwt_inverse_impl<float>(arr, C, ph, pw, rec_lo, rec_hi, F,
+                                   levels, ll_h, ll_w, lvl_sh, lvl_sw,
+                                   lvl_dh, lvl_dw, chan_scales, q_scale,
+                                   out, out_h, out_w);
 }
 

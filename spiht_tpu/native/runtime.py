@@ -131,6 +131,15 @@ class _Kernel:
             c_f64_p, ctypes.c_double, c_f64_p, ctypes.c_longlong,
             ctypes.c_longlong,
         ]
+        lib.spiht_dwt_inverse_f32.restype = ctypes.c_int
+        lib.spiht_dwt_inverse_f32.argtypes = [
+            c_i32_p, ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+            c_f64_p, c_f64_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong,
+            c_i64_p, c_i64_p, c_i64_p, c_i64_p,
+            c_f64_p, ctypes.c_double, c_f32_p, ctypes.c_longlong,
+            ctypes.c_longlong,
+        ]
 
     # -- core ---------------------------------------------------------------
     def encode(
@@ -370,8 +379,9 @@ class _Kernel:
         out_w: int,
         chan_scales=None,
         q_scale: float = 1.0,
+        precision: str = "f64",
     ) -> np.ndarray:
-        """Native f64 dequantize + multilevel 2D inverse DWT.
+        """Native dequantize + multilevel 2D inverse DWT ('f64' | 'f32').
 
         lvl_rects: per level coarse->fine, tuples (start_h, start_w, dh, dw)
         of the dd-block geometry in the packed array.
@@ -384,7 +394,6 @@ class _Kernel:
         sw = np.array([r[1] for r in lvl_rects], dtype=np.int64)
         dh = np.array([r[2] for r in lvl_rects], dtype=np.int64)
         dw = np.array([r[3] for r in lvl_rects], dtype=np.int64)
-        out = np.empty((C, out_h, out_w), dtype=np.float64)
         c_f64_p = ctypes.POINTER(ctypes.c_double)
         c_i64_p = ctypes.POINTER(ctypes.c_longlong)
         if chan_scales is not None:
@@ -392,14 +401,22 @@ class _Kernel:
             cs_p = cs.ctypes.data_as(c_f64_p)
         else:
             cs_p = ctypes.cast(None, c_f64_p)
-        rc = self._lib.spiht_dwt_inverse(
+        if precision == "f32":
+            out = np.empty((C, out_h, out_w), dtype=np.float32)
+            fn = self._lib.spiht_dwt_inverse_f32
+            out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        else:
+            out = np.empty((C, out_h, out_w), dtype=np.float64)
+            fn = self._lib.spiht_dwt_inverse
+            out_p = out.ctypes.data_as(c_f64_p)
+        rc = fn(
             arr.ctypes.data_as(c_i32_p), C, ph, pw,
             lo.ctypes.data_as(c_f64_p), hi.ctypes.data_as(c_f64_p),
             len(lo), levels, ll_h, ll_w,
             sh.ctypes.data_as(c_i64_p), sw.ctypes.data_as(c_i64_p),
             dh.ctypes.data_as(c_i64_p), dw.ctypes.data_as(c_i64_p),
             cs_p, float(q_scale),
-            out.ctypes.data_as(c_f64_p), out_h, out_w,
+            out_p, out_h, out_w,
         )
         if rc != 0:
             raise ValueError(f"spiht_dwt_inverse failed (rc={rc})")

@@ -140,12 +140,16 @@ def inverse_native(
     level: Optional[int],
     settings: SpihtSettings,
     slices=None,
+    precision: Optional[str] = None,
 ) -> np.ndarray:
-    """Native C++ f64 dequantize + inverse DWT + inverse color.
+    """Native C++ dequantize + inverse DWT + inverse color.
 
     Same semantics as inverse_numpy (incl. no final crop — reference
-    parity); falls back to it when the kernel is unavailable.
+    parity); falls back to it when the kernel is unavailable. precision
+    'f64' (default) or 'f32' speed mode (SPIHT_TPU_PRECISION honored).
     """
+    if precision is None:
+        precision = os.environ.get("SPIHT_TPU_PRECISION", "f64")
     from .native import runtime
     from .wavelets.filters import build_wavelet, dwt_max_level
 
@@ -180,6 +184,7 @@ def inverse_native(
         aw,
         chan_scales=settings.per_channel_quant_scales,
         q_scale=settings.quantization_scale,
+        precision=precision,
     )
     if settings.color_model is not None:
         image = color_models.convert(image, settings.color_model, "RGB")
