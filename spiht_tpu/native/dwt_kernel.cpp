@@ -190,30 +190,30 @@ static void wavedec2_channel(const T* img, long long h, long long w,
         // row-conv, keep outputs transposed (oh x ow each)
         // reuse a_buf as transpose scratch (ah*ow <= h*w)
         T* tT = a_buf;
-        // a branch
-        transpose(tmp1, ah, ow, tT);            // ow x ah
-        static thread_local std::vector<T> aa, ad, da, dd, colA, colD;
+        // column pass: operate on transposed data so both the filter taps
+        // AND the output writes are contiguous, then transpose back
+        static thread_local std::vector<T> aa, ad, da, dd, cT, c2T;
         aa.resize((size_t)oh * ow); ad.resize((size_t)oh * ow);
         da.resize((size_t)oh * ow); dd.resize((size_t)oh * ow);
-        colA.resize((size_t)oh); colD.resize((size_t)oh);
+        cT.resize((size_t)ow * oh); c2T.resize((size_t)ow * oh);
+        // a branch
+        transpose(tmp1, ah, ow, tT);            // ow x ah
         for (long long c = 0; c < ow; c++) {
-            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
-                    colD.data(), oh, extbuf.data());
-            for (long long r = 0; r < oh; r++) {
-                aa[r * ow + c] = colA[r];
-                da[r * ow + c] = colD[r];
-            }
+            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode,
+                    cT.data() + c * oh, c2T.data() + c * oh, oh,
+                    extbuf.data());
         }
+        transpose(cT.data(), ow, oh, aa.data());
+        transpose(c2T.data(), ow, oh, da.data());
         // d branch
         transpose(tmp2, ah, ow, tT);
         for (long long c = 0; c < ow; c++) {
-            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode, colA.data(),
-                    colD.data(), oh, extbuf.data());
-            for (long long r = 0; r < oh; r++) {
-                ad[r * ow + c] = colA[r];
-                dd[r * ow + c] = colD[r];
-            }
+            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode,
+                    cT.data() + c * oh, c2T.data() + c * oh, oh,
+                    extbuf.data());
         }
+        transpose(cT.data(), ow, oh, ad.data());
+        transpose(c2T.data(), ow, oh, dd.data());
         // ad: rows [0, oh), cols [start_w_l, +ow);
         // da: rows [start_h_l, +oh), cols [0, ow);
         // dd: rows [start_h_l, +oh), cols [start_w_l, +ow)
