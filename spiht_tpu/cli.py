@@ -118,6 +118,76 @@ def cmd_encode_decode(args) -> int:
     return 0
 
 
+def _write_stream(path: str, er) -> None:
+    """Container file: one JSON header line + raw stream bytes.
+
+    The header carries the out-of-band framing (EncodingResult fields);
+    codec settings remain a pre-shared contract, as in the reference.
+    """
+    import json
+
+    d = er.to_dict()
+    data = d.pop("encoding_result_encoded_bytes")
+    with open(path, "wb") as f:
+        f.write(json.dumps(d).encode() + b"\n")
+        f.write(data)
+
+
+def _read_stream(path: str):
+    import json
+
+    from .settings import EncodingResult
+
+    with open(path, "rb") as f:
+        header = json.loads(f.readline().decode())
+        data = f.read()
+    header["encoding_result_encoded_bytes"] = data
+    return EncodingResult.from_dict(header)
+
+
+def cmd_encode(args) -> int:
+    if args.bpp <= 0:
+        print("error: --bpp must be > 0", file=sys.stderr)
+        return 2
+    _apply_backend(args)
+    image = imload(args.image)
+    c, h, w = image.shape
+    settings = _settings_from_args(args)
+    level = args.level if args.level is not None else _auto_level(h, w)
+    t0 = time.perf_counter()
+    er = codec.api.encode_image(
+        image, settings, level=level, max_bits=round(args.bpp * h * w)
+    )
+    t_enc = time.perf_counter() - t0
+    _write_stream(args.out, er)
+    print(f"encoded {c}x{h}x{w} -> {args.out}: {len(er.encoded_bytes)} bytes "
+          f"({len(er.encoded_bytes)*8/(h*w):.4f} bpp) in {t_enc*1e3:.1f} ms")
+    print("note: decoding requires the same codec settings "
+          "(they are a pre-shared contract, not stored in the stream)")
+    return 0
+
+
+def cmd_decode(args) -> int:
+    _apply_backend(args)
+    settings = _settings_from_args(args)
+    try:
+        er = _read_stream(args.stream)
+    except FileNotFoundError:
+        print(f"error: no such stream file: {args.stream}", file=sys.stderr)
+        return 2
+    except (ValueError, KeyError):
+        print(f"error: {args.stream} is not a spiht stream file",
+              file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    rec = codec.api.decode_image(er, settings)[..., : er.h, : er.w]
+    t_dec = time.perf_counter() - t0
+    imsave(args.out, np.clip(rec, 0, 1))
+    print(f"decoded {er.c}x{er.h}x{er.w} from {args.stream} "
+          f"in {t_dec*1e3:.1f} ms -> {args.out}")
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Rate-distortion sweep: encode at several bpp points, print one JSON
     line per point (the reference's demonstrate.py bpp-sweep, structured)."""
@@ -194,6 +264,18 @@ def main(argv=None) -> int:
     p1.add_argument("--out", default=None, help="save reconstruction here")
     _add_codec_args(p1)
     p1.set_defaults(fn=cmd_encode_decode)
+
+    p4 = sub.add_parser("encode", help="encode an image to a stream file")
+    p4.add_argument("image")
+    p4.add_argument("out")
+    _add_codec_args(p4)
+    p4.set_defaults(fn=cmd_encode)
+
+    p5 = sub.add_parser("decode", help="decode a stream file to an image")
+    p5.add_argument("stream")
+    p5.add_argument("out")
+    _add_codec_args(p5)
+    p5.set_defaults(fn=cmd_decode)
 
     p3 = sub.add_parser("sweep", help="rate-distortion sweep (JSON lines)")
     p3.add_argument("image")

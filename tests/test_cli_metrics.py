@@ -49,6 +49,22 @@ def test_cli_sweep_json_lines(png, capsys):
     assert stats[1]["bpp"] > stats[0]["bpp"]
 
 
+def test_cli_encode_decode_files(png, tmp_path, capsys):
+    stream = str(tmp_path / "s.spiht")
+    out = str(tmp_path / "d.png")
+    assert cli.main(["encode", png, stream, "--bpp", "1.0",
+                     "--backend", "native"]) == 0
+    assert os.path.getsize(stream) > 0
+    assert cli.main(["decode", stream, out, "--backend", "native"]) == 0
+    assert os.path.exists(out)
+    # wrong settings still decodes (garbage-in-garbage-out is the
+    # reference contract); missing/invalid files error cleanly
+    assert cli.main(["decode", str(tmp_path / "nope.spiht"), out]) == 2
+    bad = tmp_path / "bad.spiht"
+    bad.write_bytes(b"not json\nxxxx")
+    assert cli.main(["decode", str(bad), out]) == 2
+
+
 def test_cli_progressive_gif(png, tmp_path):
     out = str(tmp_path / "p.gif")
     rc = cli.main(
