@@ -210,17 +210,24 @@ def encode_images(
                 arrs[i] = arr[bi]
                 lls[i] = (ll_h, ll_w)
     elif backend == "native" and nat is not None:
-        # host production path: f64 C++ DWT per image across a thread pool
-        # (the ctypes calls release the GIL)
+        # host production path: transform AND scheduling fused per image
+        # across a thread pool (the ctypes calls release the GIL), so no
+        # barrier between the two stages
         from concurrent.futures import ThreadPoolExecutor
 
-        def fwd(i):
-            return i, transform.forward_native(images[i], spiht_settings, level)
+        def work(i):
+            arr, ll_h, ll_w = transform.forward_native(
+                images[i], spiht_settings, level
+            )
+            data, max_n = nat.encode(arr, ll_h, ll_w, mb[i])
+            return i, data, max_n
 
+        results = [None] * n
         with ThreadPoolExecutor() as pool:
-            for i, (arr, ll_h, ll_w) in pool.map(fwd, range(n)):
-                arrs[i] = arr
-                lls[i] = (ll_h, ll_w)
+            for i, data, max_n in pool.map(work, range(n)):
+                c, h, w = images[i].shape
+                results[i] = EncodingResult(data, h, w, c, int(max_n), level)
+        return results
     else:
         for i, im in enumerate(images):
             arr, ll_h, ll_w = transform.forward(im, spiht_settings, level)
@@ -266,6 +273,25 @@ def decode_images(encoding_results, spiht_settings: SpihtSettings):
         geo.append((slices, enc_h, enc_w, slices[0][1].stop, slices[0][2].stop))
 
     nat = _native()
+    if nat is not None and transform.get_backend() == "native":
+        # fused per-image decode + inverse transform across threads
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(i):
+            er = encoding_results[i]
+            _, enc_h, enc_w, ll_h, ll_w = geo[i]
+            rec = nat.decode(
+                er.encoded_bytes, er.max_n, er.c, enc_h, enc_w, ll_h, ll_w
+            )
+            return i, transform.inverse(
+                rec, er.h, er.w, er.level, spiht_settings
+            )
+
+        images = [None] * n
+        with ThreadPoolExecutor() as pool:
+            for i, im in pool.map(work, range(n)):
+                images[i] = im
+        return images
     if nat is not None:
         recs = nat.decode_batch(
             [er.encoded_bytes for er in encoding_results],
@@ -297,18 +323,6 @@ def decode_images(encoding_results, spiht_settings: SpihtSettings):
             out = transform.inverse(batch, h, w, level, spiht_settings)
             for bi, i in enumerate(idxs):
                 images[i] = np.asarray(out[bi])
-    elif transform.get_backend() == "native" and nat is not None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        def inv(i):
-            er = encoding_results[i]
-            return i, transform.inverse(
-                recs[i], er.h, er.w, er.level, spiht_settings
-            )
-
-        with ThreadPoolExecutor() as pool:
-            for i, im in pool.map(inv, range(n)):
-                images[i] = im
     else:
         # the numpy reference inverse is single-image (slice indexing)
         for i, er in enumerate(encoding_results):
