@@ -39,7 +39,12 @@ import jax.numpy as jnp
 
 from .maps import tree_height
 
-__all__ = ["bits_per_plane_from_maps", "cut_plane", "plan_supported"]
+__all__ = [
+    "bits_per_plane_from_maps",
+    "cut_plane",
+    "plan_supported",
+    "plan_image",
+]
 
 _PLANES = 32  # static histogram size (planes 0..30 + headroom)
 
@@ -192,6 +197,60 @@ def bits_per_plane_from_maps(
 
     counts = jnp.cumsum(diff[:_PLANES]) + point
     return counts
+
+
+def plan_image(image, settings, level=None, max_bits=None):
+    """Rate plan for an image WITHOUT encoding it.
+
+    Returns a dict with:
+      'bits_per_plane'  {plane n: exact bits the full stream emits at n}
+      'total_bits'      full-stream length
+      'max_n'           starting plane
+      'cut_plane'       plane where a max_bits budget runs out (-1 = fits)
+      'bits_before_cut' bits emitted before that plane starts
+
+    Uses the host transform + native maps; the per-plane math runs in
+    jax (CPU or device). Unsupported (odd-LL) geometries raise.
+    """
+    import numpy as np
+
+    from .. import transform
+    from ..native import runtime
+
+    arr, ll_h, ll_w = transform.forward(image, settings, level)
+    if not plan_supported(ll_h, ll_w):
+        raise ValueError("planner requires even ll dims")
+    nat = runtime.load()
+    if nat is not None:
+        m, d, g = nat.compute_maps(arr, ll_h, ll_w)
+    else:
+        from . import maps as _m
+
+        m, d, g = (np.asarray(x) for x in _m.significance_maps(
+            jnp.asarray(arr), ll_h, ll_w
+        ))
+    from .oracle import compute_max_n
+
+    max_n = compute_max_n(arr)
+    counts = np.asarray(
+        bits_per_plane_from_maps(
+            jnp.asarray(m), jnp.asarray(d), jnp.asarray(g), ll_h, ll_w, max_n
+        )
+    )
+    out = {
+        "bits_per_plane": {
+            int(n): int(counts[n]) for n in range(max_n, -1, -1)
+        },
+        "total_bits": int(counts.sum()),
+        "max_n": int(max_n),
+        "cut_plane": -1,
+        "bits_before_cut": int(counts.sum()),
+    }
+    if max_bits is not None:
+        plane, before = cut_plane(jnp.asarray(counts), max_n, int(max_bits))
+        out["cut_plane"] = int(plane)
+        out["bits_before_cut"] = int(before)
+    return out
 
 
 def cut_plane(counts: jnp.ndarray, max_n, max_bits: int):

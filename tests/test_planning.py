@@ -93,6 +93,27 @@ def test_cut_plane_matches_encoder(rng):
         assert before == acc
 
 
+def test_plan_image_end_to_end(rng, monkeypatch):
+    """plan_image's total equals the real encoder's full stream length."""
+    import spiht_tpu
+    from spiht_tpu import SpihtSettings, transform
+    from spiht_tpu.codec.planning import plan_image
+
+    monkeypatch.setattr(transform, "_BACKEND", "native")
+    s = SpihtSettings()
+    im = rng.random((3, 64, 64))
+    plan = plan_image(im, s, level=3, max_bits=5000)
+    er = spiht_tpu.encode_image(im, s, level=3)  # full stream
+    total_bits = len(er.encoded_bytes) * 8
+    # full stream is byte-padded; the plan is exact in bits
+    assert plan["total_bits"] <= total_bits < plan["total_bits"] + 8
+    assert plan["max_n"] == er.max_n
+    assert 0 <= plan["cut_plane"] <= plan["max_n"]
+    assert plan["bits_before_cut"] < 5000 <= (
+        plan["bits_before_cut"] + plan["bits_per_plane"][plan["cut_plane"]]
+    )
+
+
 def test_plan_supported():
     assert plan_supported(4, 4)
     assert not plan_supported(3, 4)
