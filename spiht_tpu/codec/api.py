@@ -9,6 +9,7 @@ C++ kernel (``spiht_tpu.native``) with a pure-Python fallback.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple, Union
 
 import numpy as np
@@ -128,6 +129,82 @@ def encode_image(
     return EncodingResult(encoded_bytes, h, w, c, int(max_n), level)
 
 
+def _encode_images_budget(images, groups, mb, spiht_settings, level, nat):
+    """Budget-narrowed jax encode path (see encode_images). Returns the
+    result list, or None to fall back to the standard path."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import jax_transform
+    from . import planning
+    from .oracle import compute_max_n as _host_max_n
+
+    n = len(images)
+    results = [None] * n
+    for shape, idxs in groups.items():
+        slices, _, _ = get_slices_and_h_w(
+            shape[-2], shape[-1], spiht_settings, level
+        )
+        ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+        if not planning.plan_supported(ll_h, ll_w):
+            return None
+        c = shape[0]
+        # planes above the device's exact max(M) emit one all-zero test
+        # per initial LIP/LIS entity
+        n_ee = ((ll_h + 1) // 2) * ((ll_w + 1) // 2)
+        n_init = c * ll_h * ll_w + c * (ll_h * ll_w - n_ee)
+
+        fn = jax_transform._forward_plan_jit(
+            jax_transform._settings_key(spiht_settings),
+            level,
+            (ll_h, ll_w),
+            str(np.dtype(jax_transform.default_dtype()).name),
+        )
+        batch = np.stack([images[i] for i in idxs])
+        arr_dev, mx, counts, max_n_dev = fn(jnp.asarray(batch))
+        mx = np.asarray(mx)
+        counts = np.asarray(counts).astype(np.int64)
+        max_n_dev = np.asarray(max_n_dev)
+
+        shifts = np.zeros(len(idxs), dtype=np.int32)
+        max_ns = np.zeros(len(idxs), dtype=np.int32)
+        for bi, i in enumerate(idxs):
+            max_n = _host_max_n(np.asarray([[[mx[bi]]]], dtype=np.int64))
+            max_ns[bi] = max_n
+            ci = counts[bi].copy()
+            ci[max_n_dev[bi] + 1 : max_n + 1] = n_init
+            plane, _ = planning.cut_plane(
+                jnp.asarray(ci), max_n, int(mb[i])
+            )
+            shifts[bi] = max(int(plane), 0)
+        wmax = int(np.max(mx >> shifts)) if len(idxs) else 0
+        if wmax <= 127:
+            dtype = "int8"
+        elif wmax <= 32767:
+            dtype = "int16"
+        else:
+            return None  # narrowing doesn't pay; standard path
+        narrow = jax_transform._narrow_jit(dtype)
+        hi = np.asarray(narrow(arr_dev, jnp.asarray(shifts)))
+        mag = np.abs(hi.astype(np.int32)) << shifts[:, None, None, None]
+        arr = np.where(hi >= 0, mag, -mag).astype(np.int32)
+
+        encoded = nat.encode_batch(
+            list(arr),
+            [ll_h] * len(idxs),
+            [ll_w] * len(idxs),
+            [mb[i] for i in idxs],
+            use_maps=True,
+            forced_max_ns=max_ns,
+        )
+        for bi, i in enumerate(idxs):
+            ci_, h, w = images[i].shape
+            results[i] = EncodingResult(
+                encoded[bi][0], h, w, ci_, int(encoded[bi][1]), level
+            )
+    return results
+
+
 def encode_images(
     images,
     spiht_settings: SpihtSettings = SpihtSettings(),
@@ -167,6 +244,24 @@ def encode_images(
     arrs = [None] * n
     lls = [None] * n
     backend = transform.get_backend()
+    if (
+        backend == "jax"
+        and nat is not None
+        and all(m < 2**40 for m in mb)
+        and os.environ.get("SPIHT_TPU_BUDGET_TRANSFER") != "0"
+    ):
+        # budget-narrowed transfer: the device ships per-image (max|x|,
+        # per-plane bit counts) — a few hundred bytes — the host computes
+        # each stream's cut plane, and the device then ships only the
+        # magnitude bits at or above it (often int8), unshifted on host.
+        # The emitted streams are bit-identical: bits below the cut plane
+        # are never touched within the budget. Falls back transparently
+        # on odd-LL geometries or when narrowing wouldn't fit int16.
+        done = _encode_images_budget(
+            images, groups, mb, spiht_settings, level, nat
+        )
+        if done is not None:
+            return done
     if backend == "jax":
         import jax
         import jax.numpy as jnp

@@ -255,6 +255,54 @@ def forward_with_maps(
     return arr, (m, d, g), ll_h, ll_w
 
 
+@lru_cache(maxsize=None)
+def _forward_plan_jit(
+    key: Tuple, level: Optional[int], ll: Tuple[int, int], dtype_name: str
+):
+    """Device phase 1 of the budget-narrowed transfer (see encode_images):
+    full analysis, keeping the i32 coefficient array ON DEVICE and shipping
+    only per-image (max |x|, per-plane bit counts) — a few hundred bytes.
+
+    Counts are computed at the exact per-image max(M); the caller extends
+    them to the reference's f32-rule max_n on host (the planes in between
+    emit one all-zero test per initial LIP/LIS entity).
+    """
+    wavelet, qscale, mode, color_model, pcs = key
+    ll_h, ll_w = ll
+    dtype = jnp.dtype(dtype_name)
+    base = _forward_jit(key, level, False, dtype_name)
+
+    from .codec import planning as _planning
+
+    def f(images):  # (B, C, H, W)
+        arr = base.__wrapped__(images)
+        mx = jnp.abs(arr).max(axis=(-3, -2, -1))
+        m, d, g = _maps.significance_maps(arr, ll_h, ll_w)
+        max_n_dev = jnp.maximum(
+            m.max(axis=(-3, -2, -1)).astype(jnp.int32), 0
+        )
+        counts = jax.vmap(
+            _planning.bits_per_plane_from_maps,
+            in_axes=(0, 0, 0, None, None, 0),
+        )(m, d, g, ll_h, ll_w, max_n_dev)
+        return arr, mx, counts, max_n_dev
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _narrow_jit(out_dtype_name: str):
+    """Device phase 2: shift magnitudes right by per-image s and narrow."""
+    out_dtype = jnp.dtype(out_dtype_name)
+
+    def f(arr, s):  # arr (B, C, H, W) i32; s (B,) i32
+        sh = s[:, None, None, None]
+        mag = jnp.abs(arr) >> sh
+        return jnp.where(arr >= 0, mag, -mag).astype(out_dtype)
+
+    return jax.jit(f)
+
+
 def forward_compact(
     image: np.ndarray, settings: SpihtSettings, level: Optional[int]
 ) -> Tuple[np.ndarray, int, int]:

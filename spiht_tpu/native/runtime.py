@@ -74,7 +74,7 @@ class _Kernel:
         lib.spiht_encode.argtypes = [
             c_i32_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
-            c_i8_p, c_i8_p, c_i8_p,
+            c_i8_p, c_i8_p, c_i8_p, ctypes.c_int,
             ctypes.POINTER(c_u8_p), ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -96,7 +96,7 @@ class _Kernel:
             ctypes.POINTER(c_i32_p), ctypes.c_int, c_int_p, c_int_p, c_int_p,
             c_int_p, c_int_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(c_i8_p), ctypes.POINTER(c_i8_p),
-            ctypes.POINTER(c_i8_p), ctypes.POINTER(c_u8_p),
+            ctypes.POINTER(c_i8_p), c_int_p, ctypes.POINTER(c_u8_p),
             ctypes.POINTER(ctypes.c_longlong), c_int_p,
         ]
         lib.spiht_decode_batch.restype = ctypes.c_int
@@ -150,6 +150,7 @@ class _Kernel:
         max_bits: int,
         use_maps: bool = True,
         maps: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+        forced_max_n: int = -1,
     ) -> Tuple[bytes, int]:
         arr = np.ascontiguousarray(arr, dtype=np.int32)
         c, h, w = arr.shape
@@ -169,7 +170,7 @@ class _Kernel:
         max_bits = min(int(max_bits), 2**62)
         rc = self._lib.spiht_encode(
             arr.ctypes.data_as(c_i32_p), c, h, w, ll_h, ll_w,
-            max_bits, int(use_maps), mp, dp, gp,
+            max_bits, int(use_maps), mp, dp, gp, int(forced_max_n),
             ctypes.byref(out_data), ctypes.byref(out_nbits),
             ctypes.byref(out_max_n),
         )
@@ -227,6 +228,7 @@ class _Kernel:
         use_maps: bool = True,
         maps=None,
         nthreads: int = 0,
+        forced_max_ns=None,
     ):
         """Encode a batch of (C,H,W) i32 arrays in parallel native threads.
 
@@ -260,13 +262,18 @@ class _Kernel:
         out_datas = (c_u8_p * batch)()
         out_nbits = (ctypes.c_longlong * batch)()
         out_max_ns = (ctypes.c_int * batch)()
+        if forced_max_ns is not None:
+            fmn = np.asarray(forced_max_ns, dtype=np.int32)
+            fmn_p = fmn.ctypes.data_as(c_int_p)
+        else:
+            fmn_p = ctypes.cast(None, c_int_p)
         rc = self._lib.spiht_encode_batch(
             arr_ptrs, batch,
             cs.ctypes.data_as(c_int_p), hs.ctypes.data_as(c_int_p),
             ws.ctypes.data_as(c_int_p), ll_hs.ctypes.data_as(c_int_p),
             ll_ws.ctypes.data_as(c_int_p),
             mb.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-            int(use_maps), int(nthreads), mptr, dptr, gptr,
+            int(use_maps), int(nthreads), mptr, dptr, gptr, fmn_p,
             out_datas, out_nbits, out_max_ns,
         )
         if rc != 0:

@@ -191,9 +191,14 @@ static bool set_sig_recursive(const int32_t* a, const Geo& g, int w, int i0,
 //                    1 = level-map driven (fast path).
 // Maps may be passed in (e.g. computed on TPU); pass null to compute here.
 // ---------------------------------------------------------------------------
+// forced_max_n: -1 = compute from the array (reference f32-log2 rule);
+// >= 0 = use the given starting plane (callers that narrowed the array to
+// its live magnitude bits must pass the original max_n, since the f32
+// rule can differ on the masked values).
 int spiht_encode(const int32_t* arr, int c, int h, int w, int ll_h, int ll_w,
                  long long max_bits, int use_maps,
                  const int8_t* M_in, const int8_t* D_in, const int8_t* G_in,
+                 int forced_max_n,
                  uint8_t** out_data, long long* out_nbits, int* out_max_n) {
     if (ll_h <= 1 || ll_w <= 1) return -1;
     // LL parity children live at rows/cols up to 2*ll-1; reject geometries
@@ -216,7 +221,8 @@ int spiht_encode(const int32_t* arr, int c, int h, int w, int ll_h, int ll_w,
         G = Gs.data();
     }
 
-    const int max_n = compute_max_n(arr, total);
+    const int max_n =
+        forced_max_n >= 0 ? forced_max_n : compute_max_n(arr, total);
     *out_max_n = max_n;
 
     BitWriter bw;
@@ -578,7 +584,8 @@ int spiht_encode_batch(const int32_t* const* arrs, int batch, const int* cs,
                        const int* ll_ws, const long long* max_bits,
                        int use_maps, int nthreads,
                        const int8_t* const* Ms, const int8_t* const* Ds,
-                       const int8_t* const* Gs, uint8_t** out_datas,
+                       const int8_t* const* Gs, const int* forced_max_ns,
+                       uint8_t** out_datas,
                        long long* out_nbits, int* out_max_ns) {
     if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
     if (nthreads > batch) nthreads = batch;
@@ -591,8 +598,9 @@ int spiht_encode_batch(const int32_t* const* arrs, int batch, const int* cs,
             const int rc = spiht_encode(
                 arrs[t], cs[t], hs[t], ws[t], ll_hs[t], ll_ws[t], max_bits[t],
                 use_maps, Ms ? Ms[t] : nullptr, Ds ? Ds[t] : nullptr,
-                Gs ? Gs[t] : nullptr, &out_datas[t], &out_nbits[t],
-                &out_max_ns[t]);
+                Gs ? Gs[t] : nullptr,
+                forced_max_ns ? forced_max_ns[t] : -1,
+                &out_datas[t], &out_nbits[t], &out_max_ns[t]);
             if (rc != 0) err.store(rc);
         }
     };
