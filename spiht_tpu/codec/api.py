@@ -173,10 +173,8 @@ def _encode_images_budget(images, groups, mb, spiht_settings, level, nat):
             max_ns[bi] = max_n
             ci = counts[bi].copy()
             ci[max_n_dev[bi] + 1 : max_n + 1] = n_init
-            plane, _ = planning.cut_plane(
-                jnp.asarray(ci), max_n, int(mb[i])
-            )
-            shifts[bi] = max(int(plane), 0)
+            plane, _ = planning.cut_plane_np(ci, max_n, int(mb[i]))
+            shifts[bi] = max(plane, 0)
         wmax = int(np.max(mx >> shifts)) if len(idxs) else 0
         if wmax <= 127:
             dtype = "int8"

@@ -42,6 +42,7 @@ from .maps import tree_height
 __all__ = [
     "bits_per_plane_from_maps",
     "cut_plane",
+    "cut_plane_np",
     "plan_supported",
     "plan_image",
 ]
@@ -251,6 +252,21 @@ def plan_image(image, settings, level=None, max_bits=None):
         out["cut_plane"] = int(plane)
         out["bits_before_cut"] = int(before)
     return out
+
+
+def cut_plane_np(counts, max_n: int, max_bits: int):
+    """Host-side numpy cut_plane (identical semantics; no device dispatch —
+    on tunneled accelerators tiny jnp ops cost a round trip each)."""
+    counts = np.asarray(counts)
+    idx = np.arange(counts.shape[0])
+    c = np.where(idx <= max_n, counts, 0)
+    suffix_incl = np.cumsum(c[::-1])[::-1]
+    suffix_excl = suffix_incl - c
+    hit = (suffix_excl < max_bits) & (max_bits <= suffix_incl)
+    if hit.any():
+        plane = int((idx * hit).sum())
+        return plane, int((suffix_excl * hit).sum())
+    return -1, int(suffix_incl[0])
 
 
 def cut_plane(counts: jnp.ndarray, max_n, max_bits: int):
