@@ -188,6 +188,25 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Rate plan WITHOUT encoding: per-plane bit counts + budget cut."""
+    import json
+
+    _apply_backend(args)
+    image = imload(args.image)
+    c, h, w = image.shape
+    settings = _settings_from_args(args)
+    level = args.level if args.level is not None else _auto_level(h, w)
+    from .codec.planning import plan_image
+
+    plan = plan_image(
+        image, settings, level=level, max_bits=round(args.bpp * h * w)
+    )
+    plan["planned_bpp"] = plan["total_bits"] / (h * w)
+    print(json.dumps(plan))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Rate-distortion sweep: encode at several bpp points, print one JSON
     line per point (the reference's demonstrate.py bpp-sweep, structured)."""
@@ -276,6 +295,11 @@ def main(argv=None) -> int:
     p5.add_argument("out")
     _add_codec_args(p5)
     p5.set_defaults(fn=cmd_decode)
+
+    p6 = sub.add_parser("plan", help="rate plan without encoding (JSON)")
+    p6.add_argument("image")
+    _add_codec_args(p6)
+    p6.set_defaults(fn=cmd_plan)
 
     p3 = sub.add_parser("sweep", help="rate-distortion sweep (JSON lines)")
     p3.add_argument("image")

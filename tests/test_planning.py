@@ -13,6 +13,8 @@ from spiht_tpu.codec.planning import bits_per_plane_from_maps, plan_supported
 
 
 def _check(arr, ll_h, ll_w):
+    from spiht_tpu.codec.planning import bits_per_plane_from_maps_np
+
     counts = {}
     bits, max_n = oracle.encode_bits(arr, ll_h, ll_w, 10**9, plane_counts=counts)
     m, d, g = jmaps.significance_maps(jnp.asarray(arr), ll_h, ll_w)
@@ -24,6 +26,11 @@ def _check(arr, ll_h, ll_w):
         want[n] = cnt
     np.testing.assert_array_equal(planned, want)
     assert planned.sum() == len(bits)
+    # numpy twin agrees with the jnp version
+    planned_np = bits_per_plane_from_maps_np(
+        np.asarray(m), np.asarray(d), np.asarray(g), ll_h, ll_w, max_n
+    )
+    np.testing.assert_array_equal(planned_np, planned)
 
 
 @pytest.mark.parametrize(
