@@ -40,7 +40,7 @@ import numpy as np
 from .planning import _static_geometry
 from .maps import tree_height
 
-__all__ = ["predict_events", "predict_bits"]
+__all__ = ["predict_events", "predict_bits", "predict_events_pathkey"]
 
 
 def _maps_np(arr: np.ndarray, ll_h: int, ll_w: int):
@@ -246,6 +246,208 @@ def predict_events(
             (lsp_key[ridx, 2], lsp_key[ridx, 1], lsp_key[ridx, 0])
         )
         for t in ridx[order]:
+            events.append((6, Kf[t], If[t], Jf[t], n))
+
+    return events
+
+
+def predict_events_pathkey(
+    arr: np.ndarray, ll_h: int, ll_w: int, max_n: int
+) -> List[Tuple[int, int, int, int, int]]:
+    """predict_events with the cascade ordered by ONE sort per plane.
+
+    Replaces the per-depth stable sorts with a single lexicographic sort
+    over PATH KEYS: within a plane, BFS order over the cascade forest
+    equals ordering by (depth, path), where a node's path is its root's
+    rank followed by the branch choices taken to reach it (A->B = 0,
+    B->child slot k = 1+k). Proof: positions at depth d-1 are in path
+    order by induction, and depth-d children sorted by (parent position,
+    slot) are exactly in (parent path, slot) = own-path order.
+
+    This is the formulation that ports to TPU with one segmented sort per
+    plane instead of a depth-loop of sorts. Must produce sequences
+    identical to predict_events (tests/test_order_prototype.py).
+    """
+    c, h, w = arr.shape
+    M8, D8, G8 = _maps_np(arr, ll_h, ll_w)
+    M = M8.astype(np.int32)
+    D = D8.astype(np.int32)
+    G = G8.astype(np.int32)
+    (in_ll, initial_set, par_i, par_j, has_parent, hg_raw, _) = (
+        _static_geometry(h, w, ll_h, ll_w)
+    )
+
+    def parent(x):
+        return x[:, par_i, par_j]
+
+    es = np.where(initial_set[None], max_n, -1) * np.ones((c, 1, 1), np.int32)
+    es = es.astype(np.int32)
+    for _ in range(tree_height(h, w, ll_h, ll_w)):
+        pes = parent(es)
+        pg = parent(G)
+        child_es = np.where(
+            has_parent[None] & (pes >= 0)
+            & parent(np.broadcast_to(hg_raw[None], (c, h, w)))
+            & (pg >= 0),
+            pg,
+            -1,
+        )
+        es = np.where(initial_set[None], max_n, child_es)
+    pes = parent(es)
+    pd = parent(D)
+    ec = np.where(has_parent[None] & (pes >= 0) & (pd >= 0), pd, -1)
+
+    o_i = np.where(in_ll, (np.arange(h)[:, None] % 2) * ll_h
+                   + (np.arange(h)[:, None] // 2) * 2,
+                   2 * np.arange(h)[:, None])
+    o_j = np.where(in_ll, (np.arange(w)[None, :] % 2) * ll_w
+                   + (np.arange(w)[None, :] // 2) * 2,
+                   2 * np.arange(w)[None, :])
+    o_i = np.broadcast_to(o_i, (h, w))
+    o_j = np.broadcast_to(o_j, (h, w))
+
+    K, I, J = np.meshgrid(
+        np.arange(c), np.arange(h), np.arange(w), indexing="ij"
+    )
+    flat = lambda x: np.broadcast_to(x, (c, h, w)).reshape(-1)
+    Kf, If, Jf = K.reshape(-1), I.reshape(-1), J.reshape(-1)
+    Mf, Df, Gf = M.reshape(-1), D.reshape(-1), G.reshape(-1)
+    ESf, ECf = es.reshape(-1), ec.reshape(-1)
+    in_ll_f = flat(in_ll[None])
+    init_set_f = flat(initial_set[None])
+    hg_f = flat(hg_raw[None])
+    oif, ojf = flat(o_i[None]), flat(o_j[None])
+    # parent cell index of each cell (for cascade path construction)
+    pidx = (Kf * h + flat(par_i[None])) * w + flat(par_j[None])
+
+    def raster_rank(mask):
+        order = np.lexsort((Kf, Jf, If))
+        sel = order[mask[order]]
+        r = np.full(mask.shape, -1, np.int64)
+        r[sel] = np.arange(sel.size)
+        return r
+
+    lip_init_rank = raster_rank(in_ll_f)
+    a_init_rank = raster_rank(init_set_f)
+
+    INF = max_n + 1
+    a_exists = init_set_f | (ESf >= 0)
+    a_appendP = np.where(init_set_f, INF, ESf)
+    a_appendS = np.where(init_set_f, a_init_rank, -1).astype(np.int64)
+    a_fire = np.where(a_exists, Df, -2)
+    b_exists = a_exists & (Df >= 0) & hg_f
+    b_appendP = np.where(b_exists, Df, -2)
+    b_appendS = np.full(b_appendP.shape, -1, np.int64)
+    b_fire = np.where(b_exists, Gf, -2)
+
+    lip_added = (ECf >= 0) & (Mf < ECf)
+    lip_exists = in_ll_f | lip_added
+    lip_appendP = np.where(in_ll_f, INF, np.where(lip_added, ECf, -2))
+    lip_appendS = np.where(in_ll_f, lip_init_rank, -1).astype(np.int64)
+    lip_hi = np.where(in_ll_f, max_n, ECf - 1)
+
+    sig = (in_ll_f | (ECf >= 0)) & (Mf >= 0)
+    lsp_key = np.full((Kf.size, 3), 2**60, np.int64)
+
+    events: List[Tuple[int, int, int, int, int]] = []
+
+    for n in range(max_n, -1, -1):
+        # LIP pass (unchanged)
+        present = lip_exists & (np.maximum(Mf, 0) <= n) & (n <= lip_hi)
+        idx = np.flatnonzero(present)
+        order = np.lexsort((lip_appendS[idx], -lip_appendP[idx]))
+        idx = idx[order]
+        for pos, t in enumerate(idx):
+            events.append((0, Kf[t], If[t], Jf[t], n))
+            if Mf[t] == n:
+                events.append((1, Kf[t], If[t], Jf[t], n))
+                lsp_key[t] = (max_n - n, 0, pos)
+
+        # ---- LIS: single-sort path-key construction ----
+        a_present = a_exists & (np.maximum(a_fire, 0) <= n) & (
+            n <= np.where(init_set_f, max_n, ESf)
+        )
+        b_present = b_exists & (np.maximum(b_fire, 0) <= n) & (n <= b_appendP)
+        roots_a = np.flatnonzero(a_present & (a_appendP > n))
+        roots_b = np.flatnonzero(b_present & (b_appendP > n))
+        typ = np.concatenate([np.zeros(roots_a.size, np.int64),
+                              np.ones(roots_b.size, np.int64)])
+        ridx = np.concatenate([roots_a, roots_b])
+        rp = np.concatenate([a_appendP[roots_a], b_appendP[roots_b]])
+        rs = np.concatenate([a_appendS[roots_a], b_appendS[roots_b]])
+        order = np.lexsort((typ, rs, -rp))
+        ridx, typ = ridx[order], typ[order]
+
+        # paths: dict entity->(path tuple); roots get (rank,)
+        a_path = {}
+        b_path = {}
+        for rank, (t, ty) in enumerate(zip(ridx.tolist(), typ.tolist())):
+            (a_path if ty == 0 else b_path)[t] = (rank,)
+        # cascade closure: iterate until no new nodes (depth-bounded)
+        changed = True
+        while changed:
+            changed = False
+            # B appended by own A fire this plane
+            for t in np.flatnonzero(b_exists & (b_appendP == n)):
+                if t in b_path or t not in a_path:
+                    continue
+                if a_fire[t] == n:
+                    b_path[t] = a_path[t] + (0,)
+                    changed = True
+            # A children appended by parent B fire this plane
+            for t in np.flatnonzero(a_exists & (a_appendP == n)):
+                if t in a_path:
+                    continue
+                pt_ = pidx[t]
+                if pt_ in b_path and b_fire[pt_] == n:
+                    # slot = position within the parent's offspring block
+                    di = If[t] - oif[pt_]
+                    dj = Jf[t] - ojf[pt_]
+                    slot = int(di * 2 + dj)
+                    a_path[t] = b_path[pt_] + (1 + slot,)
+                    changed = True
+        # single sort by (depth, path) over ALL nodes
+        seq = []
+        for t, p in a_path.items():
+            seq.append(((len(p), p), t, 0))
+        for t, p in b_path.items():
+            seq.append(((len(p), p), t, 1))
+        seq.sort(key=lambda z: z[0])
+        a_pos = {}
+        b_pos = {}
+        for pos, (_, t, ty) in enumerate(seq):
+            if ty == 0:
+                a_pos[t] = pos
+                if a_appendP[t] == n:
+                    a_appendS[t] = pos
+            else:
+                b_pos[t] = pos
+                if b_appendP[t] == n:
+                    b_appendS[t] = pos
+        for _, t, ty in seq:
+            k, i, j = Kf[t], If[t], Jf[t]
+            if ty == 0:
+                events.append((2, k, i, j, n))
+                if a_fire[t] == n:
+                    oi, oj = oif[t], ojf[t]
+                    for slot, (ci, cj) in enumerate(
+                        ((oi, oj), (oi, oj + 1), (oi + 1, oj), (oi + 1, oj + 1))
+                    ):
+                        cidx = (k * h + ci) * w + cj
+                        events.append((3, k, ci, cj, n))
+                        if Mf[cidx] == n:
+                            events.append((4, k, ci, cj, n))
+                            lsp_key[cidx] = (max_n - n, 1, a_pos[t] * 4 + slot)
+                        elif lip_added[cidx]:
+                            lip_appendS[cidx] = a_pos[t] * 4 + slot
+            else:
+                events.append((5, k, i, j, n))
+
+        ridx2 = np.flatnonzero(sig & (Mf > n))
+        order = np.lexsort(
+            (lsp_key[ridx2, 2], lsp_key[ridx2, 1], lsp_key[ridx2, 0])
+        )
+        for t in ridx2[order]:
             events.append((6, Kf[t], If[t], Jf[t], n))
 
     return events

@@ -64,6 +64,27 @@ def test_predicted_bitstream_is_exact(rng):
     assert [bool(b) for b in pred[:1000]] == [bool(b) for b in cut_bits]
 
 
+def test_pathkey_order_identical(rng):
+    """Single-sort-per-plane path keys == per-depth BFS == oracle."""
+    from spiht_tpu.codec.order_prototype import predict_events_pathkey
+
+    for _ in range(3):
+        c = int(rng.integers(1, 3))
+        ll_h = 2 * int(rng.integers(1, 4))
+        ll_w = 2 * int(rng.integers(1, 4))
+        h, w = ll_h, ll_w
+        for _ in range(int(rng.integers(1, 4))):
+            h = 2 * h + int(rng.integers(0, 2))
+            w = 2 * w + int(rng.integers(0, 2))
+        arr = (rng.standard_normal((c, h, w)) * 200).astype(np.int32)
+        ev = []
+        bits, max_n = oracle.encode_bits(arr, ll_h, ll_w, 10**9, events=ev)
+        pk = predict_events_pathkey(arr, ll_h, ll_w, max_n)
+        assert len(pk) == len(ev)
+        for a, b in zip(pk, ev):
+            assert tuple(int(v) for v in a) == tuple(int(v) for v in b)
+
+
 def test_order_sparse(rng):
     arr = np.zeros((1, 16, 16), dtype=np.int32)
     arr[0, 9, 3] = -777
