@@ -1,0 +1,72 @@
+"""Fully device-side (jit) SPIHT encoder vs the native kernel: the whole
+bitstream — order and values — as one XLA program."""
+
+import numpy as np
+import pytest
+
+from spiht_tpu.codec.device_encoder import encode_device
+from spiht_tpu.native import runtime
+
+pytestmark = pytest.mark.skipif(
+    runtime.load() is None, reason="native kernel unavailable"
+)
+
+
+def _check(arr, ll_h, ll_w, max_bits):
+    nat = runtime.load()
+    want, wmn = nat.encode(arr, ll_h, ll_w, max_bits)
+    got, gmn = encode_device(arr, ll_h, ll_w, max_bits)
+    assert gmn == wmn
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "shape,ll,mb",
+    [
+        ((1, 16, 16), (4, 4), 10**9),
+        ((3, 24, 32), (6, 8), 3000),
+        ((2, 34, 18), (4, 2), 555),
+        ((1, 64, 64), (8, 8), 8192),
+    ],
+)
+def test_device_encoder_bit_exact(rng, shape, ll, mb):
+    arr = (rng.standard_normal(shape) * rng.choice([5, 300, 4000])).astype(
+        np.int32
+    )
+    _check(arr, ll[0], ll[1], mb)
+
+
+def test_device_encoder_random_geometries():
+    rng = np.random.default_rng(2024)
+    for _ in range(5):
+        c = int(rng.integers(1, 3))
+        ll_h = 2 * int(rng.integers(1, 4))
+        ll_w = 2 * int(rng.integers(1, 4))
+        h, w = ll_h, ll_w
+        for _ in range(int(rng.integers(1, 4))):
+            h = 2 * h + int(rng.integers(0, 2))
+            w = 2 * w + int(rng.integers(0, 2))
+        arr = (rng.standard_normal((c, h, w)) * 200).astype(np.int32)
+        mb = int(rng.integers(50, 4 * c * h * w))
+        _check(arr, ll_h, ll_w, mb)
+
+
+def test_device_encoder_zero_and_sparse(rng):
+    arr = np.zeros((1, 16, 16), dtype=np.int32)
+    _check(arr, 4, 4, 10**9)
+    arr[0, 9, 3] = -777
+    arr[0, 0, 1] = 12
+    _check(arr, 4, 4, 10**9)
+
+
+def test_device_encoder_full_pipeline_roundtrip(rng):
+    """Device-encoded stream decodes exactly (coverage mask) by the
+    native decoder."""
+    from spiht_tpu.codec import oracle
+
+    nat = runtime.load()
+    arr = (rng.standard_normal((2, 24, 24)) * 500).astype(np.int32)
+    data, max_n = encode_device(arr, 6, 6, 10**9)
+    rec = nat.decode(data, max_n, 2, 24, 24, 6, 6)
+    mask = oracle.coverage_mask(24, 24, 6, 6)
+    np.testing.assert_array_equal(rec[:, mask], arr[:, mask])
