@@ -44,7 +44,7 @@ from jax import lax
 from .maps import significance_maps, tree_height
 from .planning import _static_geometry
 
-__all__ = ["encode_device", "encode_device_fn"]
+__all__ = ["encode_device", "encode_device_fn", "encode_device_batch"]
 
 _PLANES = 32
 _I32 = jnp.int32
@@ -458,3 +458,42 @@ def encode_device(
     # zero any pad bits beyond total in the final byte (emit() only wrote
     # in-budget bits, so the tail is already zero)
     return data, max_n
+
+
+@lru_cache(maxsize=None)
+def _encode_device_batch_fn(c: int, h: int, w: int, ll_h: int, ll_w: int):
+    cap_bits = c * h * w * 40 + 1024
+    cap_words = (cap_bits + 31) // 32
+    fn = _build(c, h, w, ll_h, ll_w, cap_words)
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0)))
+
+
+def encode_device_batch(arrs: np.ndarray, ll_h: int, ll_w: int, max_bits):
+    """Batched device-side encode: (B, C, H, W) i32 -> list[(bytes, max_n)].
+
+    One jitted program (vmap over the single-image encoder). max_bits:
+    scalar or per-image sequence.
+    """
+    from .oracle import compute_max_n
+
+    arrs = np.ascontiguousarray(arrs, dtype=np.int32)
+    B, c, h, w = arrs.shape
+    if np.isscalar(max_bits):
+        mbs = np.full(B, min(int(max_bits), 2**31 - 2), np.int32)
+    else:
+        mbs = np.array(
+            [min(int(m), 2**31 - 2) for m in max_bits], np.int32
+        )
+    mns = np.array([compute_max_n(a) for a in arrs], np.int32)
+    fn = _encode_device_batch_fn(c, h, w, ll_h, ll_w)
+    words, totals = fn(
+        jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
+    )
+    words = np.asarray(words)
+    totals = np.asarray(totals)
+    out = []
+    for b in range(B):
+        t = int(totals[b])
+        nbytes = (t + 7) // 8
+        out.append((words[b].view(np.uint8)[:nbytes].tobytes(), int(mns[b])))
+    return out

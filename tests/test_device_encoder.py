@@ -70,3 +70,16 @@ def test_device_encoder_full_pipeline_roundtrip(rng):
     rec = nat.decode(data, max_n, 2, 24, 24, 6, 6)
     mask = oracle.coverage_mask(24, 24, 6, 6)
     np.testing.assert_array_equal(rec[:, mask], arr[:, mask])
+
+
+def test_device_encoder_batch(rng):
+    """vmapped batch encoder: per-image streams identical to the kernel."""
+    from spiht_tpu.codec.device_encoder import encode_device_batch
+
+    nat = runtime.load()
+    arrs = (rng.standard_normal((4, 2, 16, 16)) * 300).astype(np.int32)
+    mbs = [200, 10**6, 64, 999]
+    out = encode_device_batch(arrs, 4, 4, mbs)
+    for b in range(4):
+        want, wmn = nat.encode(arrs[b], 4, 4, mbs[b])
+        assert out[b] == (want, wmn)
