@@ -51,6 +51,18 @@ def encode(
 ) -> Tuple[bytes, int]:
     """SPIHT-encode a (C,H,W) int32 coefficient array -> (bytes, max_n)."""
     arr = np.ascontiguousarray(arr, dtype=np.int32)
+    if (
+        os.environ.get("SPIHT_TPU_DEVICE_ENCODER") == "1"
+        and ll_h % 2 == 0
+        and ll_w % 2 == 0
+    ):
+        # experimental: the whole bitstream as one jitted XLA program
+        # (codec/device_encoder.py); bit-identical to the native kernel.
+        # Odd-LL geometries fall through to the native path (the parity
+        # child map is non-injective there).
+        from .device_encoder import encode_device
+
+        return encode_device(arr, ll_h, ll_w, max_bits)
     nat = _native()
     if nat is not None:
         return nat.encode(arr, ll_h, ll_w, max_bits)

@@ -53,7 +53,15 @@ BIG = jnp.int32(2**30)
 
 @lru_cache(maxsize=None)
 def _geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
-    """Trace-time constants: flattened entity geometry."""
+    """Trace-time constants: flattened entity geometry.
+
+    Requires even LL dims: with odd LL dims the parity child map is
+    non-injective (one cell can have two tree parents — a reference-tree
+    quirk; see planning.plan_supported), so the parent-gather formulation
+    does not apply.
+    """
+    if ll_h % 2 != 0 or ll_w % 2 != 0:
+        raise ValueError("device encoder requires even ll dims")
     (in_ll, initial_set, par_i, par_j, has_parent, hg_raw, _) = (
         _static_geometry(h, w, ll_h, ll_w)
     )

@@ -83,3 +83,33 @@ def test_device_encoder_batch(rng):
     for b in range(4):
         want, wmn = nat.encode(arrs[b], 4, 4, mbs[b])
         assert out[b] == (want, wmn)
+
+
+def test_api_level_device_encoder_flag(rng, monkeypatch):
+    """SPIHT_TPU_DEVICE_ENCODER=1 routes encode_image through the device
+    encoder with identical output."""
+    import spiht_tpu
+    from spiht_tpu import SpihtSettings, transform
+
+    monkeypatch.setattr(transform, "_BACKEND", "numpy")
+    im = rng.random((1, 64, 64))
+    # level 3 gives an even LL (12x12); odd-LL geometries fall back to
+    # the native path transparently
+    a = spiht_tpu.encode_image(im, SpihtSettings(), level=3, max_bits=2000)
+    monkeypatch.setenv("SPIHT_TPU_DEVICE_ENCODER", "1")
+    b = spiht_tpu.encode_image(im, SpihtSettings(), level=3, max_bits=2000)
+    assert a.encoded_bytes == b.encoded_bytes
+    assert a.max_n == b.max_n
+    # odd-LL (level 2 -> 19x19) must still work via fallback
+    c1 = spiht_tpu.encode_image(im, SpihtSettings(), level=2, max_bits=2000)
+    monkeypatch.delenv("SPIHT_TPU_DEVICE_ENCODER")
+    c2 = spiht_tpu.encode_image(im, SpihtSettings(), level=2, max_bits=2000)
+    assert c1.encoded_bytes == c2.encoded_bytes
+
+
+def test_device_encoder_rejects_odd_ll(rng):
+    from spiht_tpu.codec.device_encoder import encode_device
+
+    arr = (rng.standard_normal((1, 12, 12)) * 100).astype(np.int32)
+    with pytest.raises(ValueError):
+        encode_device(arr, 3, 3, 1000)
