@@ -18,16 +18,15 @@ from the coefficient array, using the validated closed forms:
 The plane loop is a `lax.fori_loop` with the list-order state carried,
 so the compiled program is one loop body, not 32 unrolled copies.
 
-This is the v0 port: single image (C, H, W), full correctness, tested
-bit-exact against the native kernel/oracle under jit on the CPU backend
-(with and without x64; all state is int32). Status notes:
-  * the axon-tunneled dev TPU's remote compiler did not finish this
-    program within ~9 minutes (it handles the codec's other programs in
-    seconds to minutes) — untested on real TPU hardware in this
-    environment;
-  * per-plane complexity is full-array O(N log N) sorts; production
-    speed needs the segmented-sort optimization (sort only active
-    entities), which also shrinks the program — round-2 work.
+This is the v0 port: single image (C, H, W) with even LL dims, full
+correctness, tested bit-exact against the native kernel/oracle under jit
+on the CPU backend (with and without x64; all state is int32), and
+VERIFIED BIT-EXACT ON REAL TPU HARDWARE (v5e, 1x16x16 geometry; the dev
+tunnel's remote compiler takes ~80s there and exceeds its practical
+window for large geometries — a compile-scale limitation of the tunnel,
+not of the program). Per-plane complexity is full-array O(N log N)
+sorts; production speed needs the segmented-sort optimization (sort
+only active entities), which also shrinks the program — round-2 work.
 """
 
 from __future__ import annotations
