@@ -232,21 +232,27 @@ def cmd_sweep(args) -> int:
 
 def cmd_progressive(args) -> int:
     """Decode byte-stream PREFIXES at increasing bpp — the embedded-stream
-    property (reference make_gif.py:46-55) — and write an animated GIF."""
+    property (reference make_gif.py:46-55) — and write an animated GIF.
+
+    The input may be an image (encoded once at --bpp first) or a saved
+    .spiht stream file (decoded directly, no re-encoding)."""
     from PIL import Image
 
     if args.bpp <= 0:
         print("error: --bpp must be > 0", file=sys.stderr)
         return 2
     _apply_backend(args)
-    image = imload(args.image)
-    c, h, w = image.shape
     settings = _settings_from_args(args)
-    level = args.level if args.level is not None else _auto_level(h, w)
-
-    er = codec.api.encode_image(
-        image, settings, level=level, max_bits=round(args.bpp * h * w)
-    )
+    if args.image.endswith(".spiht"):
+        er = _read_stream(args.image)
+        c, h, w = er.c, er.h, er.w
+    else:
+        image = imload(args.image)
+        c, h, w = image.shape
+        level = args.level if args.level is not None else _auto_level(h, w)
+        er = codec.api.encode_image(
+            image, settings, level=level, max_bits=round(args.bpp * h * w)
+        )
     total_bytes = len(er.encoded_bytes)
     frames = []
     for f in range(1, args.frames + 1):
