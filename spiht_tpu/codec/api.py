@@ -59,10 +59,15 @@ def encode(
         # experimental: the whole bitstream as one jitted XLA program
         # (codec/device_encoder.py); bit-identical to the native kernel.
         # Odd-LL geometries fall through to the native path (the parity
-        # child map is non-injective there).
-        from .device_encoder import encode_device
+        # child map is non-injective there), and adversarial streams
+        # that exceed the device output buffer fall back to the host
+        # scheduler instead of truncating.
+        from .device_encoder import CapacityOverflow, encode_device
 
-        return encode_device(arr, ll_h, ll_w, max_bits)
+        try:
+            return encode_device(arr, ll_h, ll_w, max_bits)
+        except CapacityOverflow:
+            pass
     nat = _native()
     if nat is not None:
         return nat.encode(arr, ll_h, ll_w, max_bits)

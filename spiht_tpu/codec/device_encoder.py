@@ -43,11 +43,39 @@ from jax import lax
 from .maps import significance_maps, tree_height
 from .planning import _static_geometry
 
-__all__ = ["encode_device", "encode_device_fn", "encode_device_batch"]
+__all__ = [
+    "encode_device",
+    "encode_device_fn",
+    "encode_device_batch",
+    "CapacityOverflow",
+]
 
 _PLANES = 32
 _I32 = jnp.int32
 BIG = jnp.int32(2**30)
+
+# Default output capacity in bits per coefficient. NOT a proven worst-case
+# bound (adversarial inputs — e.g. one huge magnitude per 2x2 sibling group
+# at max_n=31 — can push past ~40 bits/cell), so every emit is guarded by
+# `pos < cap_bits` and the jitted program returns the TRUE required length;
+# the host wrapper raises CapacityOverflow instead of silently truncating.
+_CAP_BITS_PER_CELL = 48
+
+
+class CapacityOverflow(RuntimeError):
+    """The stream needs more bits than the device buffer holds.
+
+    Raised by the host wrappers; callers (codec/api.py) fall back to the
+    host scheduler, which has no capacity limit.
+    """
+
+    def __init__(self, needed: int, cap: int):
+        super().__init__(
+            f"device encoder capacity exceeded: stream needs {needed} bits,"
+            f" buffer holds {cap}"
+        )
+        self.needed = needed
+        self.cap = cap
 
 
 @lru_cache(maxsize=None)
@@ -150,6 +178,17 @@ def _rank_of(keys, present):
 def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
     g = _geom(c, h, w, ll_h, ll_w)
     N = c * h * w
+    cap_bits = cap_words * 32
+    # bit-offset saturation point: beyond capacity the exact count no
+    # longer matters (the stream is already invalid), so saturate the
+    # accumulator to keep int32 arithmetic overflow-free. Per-plane bit
+    # counts are bounded by 14*N (LIP<=2, LIS A<=9 + B<=1, refinement<=1
+    # per cell, margin), so sat + 14*N must stay below 2^31.
+    sat = cap_bits + (1 << 20)
+    if sat + 14 * N >= 2**31:
+        raise ValueError(
+            "device encoder geometry too large for int32 bit offsets"
+        )
 
     def encode(arr, max_n, max_bits):
         arr = arr.astype(_I32)
@@ -209,7 +248,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
 
         def emit(words, pos, value, valid):
             """Scatter one bit per entry: stream position -> uint32 words."""
-            ok = valid & (pos < max_bits)
+            ok = valid & (pos < max_bits) & (pos < cap_bits)
             word = jnp.where(ok, (pos >> 5).astype(_I32), 0)
             bit = (pos & 31).astype(jnp.uint32)
             contrib = jnp.where(
@@ -249,7 +288,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             words = emit(words, cell_off, lp & (M >= n), lp)
             words = emit(words, cell_off + 1, af >= 0, fires_lip)
             lip_bits = jnp.where(active, by_pos.sum(dtype=_I32), 0)
-            off = off + lip_bits
+            off = jnp.minimum(off + lip_bits, sat)
             # record LSP phase-0 keys for cells firing via LIP
             lsp_phase = jnp.where(fires_lip, 0, carry["lsp_phase"])
             lsp_S = jnp.where(fires_lip, lip_pos, carry["lsp_S"])
@@ -407,7 +446,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             lsp_S = jnp.where(
                 to_lsp, a_pos[g["pidx"]] * 4 + g["slot"], lsp_S
             )
-            off = off + lis_bits
+            off = jnp.minimum(off + lis_bits, sat)
 
             # ---------------- refinement ----------------
             rp = active & sig & (M > n)
@@ -418,7 +457,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             words = emit(
                 words, r_off, ((jnp.abs(af) >> n) & 1) == 1, rp
             )
-            off = off + jnp.where(active, r_cnt, 0)
+            off = jnp.minimum(off + jnp.where(active, r_cnt, 0), sat)
 
             return dict(
                 a_S=a_S, b_S=b_S, lip_S=lip_S, lsp_phase=lsp_phase,
@@ -427,21 +466,37 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
 
         out = lax.fori_loop(0, _PLANES, body, carry0)
         total = jnp.minimum(out["off"], max_bits).astype(_I32)
-        return out["words"], total
+        # in-budget bits beyond the buffer were dropped by emit's
+        # `pos < cap_bits` guard -> the stream is invalid; flag it
+        overflow = total > cap_bits
+        return out["words"], total, overflow
 
     return encode
 
 
+def _cap_words(c: int, h: int, w: int, bits_per_cell: int) -> int:
+    cap_bits = c * h * w * bits_per_cell + 1024
+    return (cap_bits + 31) // 32
+
+
 @lru_cache(maxsize=None)
-def encode_device_fn(c: int, h: int, w: int, ll_h: int, ll_w: int):
+def encode_device_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    bits_per_cell: int = _CAP_BITS_PER_CELL,
+):
     """Jitted device encoder for a given geometry.
 
     Returns fn(arr_i32, max_n, max_bits) -> (uint32 words LSB-first,
-    total_bits). Capacity is sized for the worst-case full stream.
+    total_bits, overflow). `overflow` true means in-budget bits did not
+    fit the buffer and were dropped — the stream is invalid and callers
+    must fall back (see CapacityOverflow).
     """
-    cap_bits = c * h * w * 40 + 1024
-    cap_words = (cap_bits + 31) // 32
-    return jax.jit(_build(c, h, w, ll_h, ll_w, cap_words))
+    cw = _cap_words(c, h, w, bits_per_cell)
+    return jax.jit(_build(c, h, w, ll_h, ll_w, cw))
 
 
 def encode_device(
@@ -458,8 +513,14 @@ def encode_device(
     c, h, w = arr.shape
     max_n = compute_max_n(arr)
     fn = encode_device_fn(c, h, w, ll_h, ll_w)
-    words, total = fn(jnp.asarray(arr), max_n, min(int(max_bits), 2**31 - 2))
+    words, total, overflow = fn(
+        jnp.asarray(arr), max_n, min(int(max_bits), 2**31 - 2)
+    )
     total = int(total)
+    if bool(overflow):
+        raise CapacityOverflow(
+            total, _cap_words(c, h, w, _CAP_BITS_PER_CELL) * 32
+        )
     nbytes = (total + 7) // 8
     data = np.asarray(words).view(np.uint8)[:nbytes].tobytes()
     # zero any pad bits beyond total in the final byte (emit() only wrote
@@ -469,9 +530,7 @@ def encode_device(
 
 @lru_cache(maxsize=None)
 def _encode_device_batch_fn(c: int, h: int, w: int, ll_h: int, ll_w: int):
-    cap_bits = c * h * w * 40 + 1024
-    cap_words = (cap_bits + 31) // 32
-    fn = _build(c, h, w, ll_h, ll_w, cap_words)
+    fn = _build(c, h, w, ll_h, ll_w, _cap_words(c, h, w, _CAP_BITS_PER_CELL))
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0)))
 
 
@@ -493,11 +552,17 @@ def encode_device_batch(arrs: np.ndarray, ll_h: int, ll_w: int, max_bits):
         )
     mns = np.array([compute_max_n(a) for a in arrs], np.int32)
     fn = _encode_device_batch_fn(c, h, w, ll_h, ll_w)
-    words, totals = fn(
+    words, totals, overflows = fn(
         jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
     )
     words = np.asarray(words)
     totals = np.asarray(totals)
+    overflows = np.asarray(overflows)
+    if overflows.any():
+        b = int(np.argmax(overflows))
+        raise CapacityOverflow(
+            int(totals[b]), _cap_words(c, h, w, _CAP_BITS_PER_CELL) * 32
+        )
     out = []
     for b in range(B):
         t = int(totals[b])

@@ -108,7 +108,10 @@ def _forward_compact_jit(key: Tuple, level: Optional[int], dtype_name: str):
     """
     wavelet, qscale, mode, color_model, pcs = key
     dtype = jnp.dtype(dtype_name)
-    if _use_pallas():
+    # the Pallas kernel quantizes in f32; taking it with an f64 working
+    # dtype could flip borderline truncations vs the documented bit-exact
+    # f64 XLA path, so only use it when the dtypes already agree
+    if _use_pallas() and dtype == jnp.float32:
         from .ops.pallas_kernels import quantize_compact_m
 
         def f(image):

@@ -258,12 +258,27 @@ static int dwt_forward_impl(const T* img, int C, long long h, long long w,
         hi_rev[t] = (T)dec_hi[F - 1 - t];
     }
     // thread_local scratch: fresh multi-MB allocations per call cost more
-    // in page faults than the transform itself under the batch thread pool
+    // in page faults than the transform itself under the batch thread pool.
+    // Size to the max intermediate across levels, not just h*w: when a dim
+    // is below F-1, coeff_len grows it ((n+F-1)/2 > n), so level outputs
+    // can exceed the input plane.
+    size_t scratch = (size_t)(h * w);
+    {
+        long long ah = h, aw = w;
+        for (int l = 0; l < levels; l++) {
+            const long long oh = coeff_len(ah, F), ow = coeff_len(aw, F);
+            scratch = std::max(scratch, (size_t)(ah * aw));
+            scratch = std::max(scratch, (size_t)(ah * ow));
+            scratch = std::max(scratch, (size_t)(oh * ow));
+            ah = oh;
+            aw = ow;
+        }
+    }
     static thread_local std::vector<T> packed, a_buf, tmp1, tmp2;
     packed.resize((size_t)ph * pw);
-    a_buf.resize((size_t)h * w);
-    tmp1.resize((size_t)h * w);
-    tmp2.resize((size_t)h * w);
+    a_buf.resize(scratch);
+    tmp1.resize(scratch);
+    tmp2.resize(scratch);
     std::vector<long long> lvl_h(levels), lvl_w(levels);
     for (int c = 0; c < C; c++) {
         std::fill(packed.begin(), packed.end(), (T)0);
@@ -427,12 +442,24 @@ static int dwt_inverse_impl(const int32_t* arr, int C, long long ph,
         lo[t] = (T)rec_lo[t];
         hi[t] = (T)rec_hi[t];
     }
-    // thread_local scratch sized to the final plane (see forward)
+    // thread_local scratch sized to the max intermediate plane across
+    // levels (degenerate geometries can make an intermediate exceed the
+    // final plane; see the forward path's sizing note)
+    size_t scratch = (size_t)(out_h * out_w);
+    scratch = std::max(scratch, (size_t)(ll_h * ll_w));
+    for (int l = 0; l < levels; l++) {
+        const long long dh = lvl_dh[l], dw = lvl_dw[l];
+        long long ow = 2 * dw - F + 2, oh = 2 * dh - F + 2;
+        if (ow < 0) ow = 0;
+        if (oh < 0) oh = 0;
+        scratch = std::max(scratch, (size_t)(dh * ow));
+        scratch = std::max(scratch, (size_t)(oh * ow));
+    }
     static thread_local std::vector<T> packed, a_buf, b_buf, t_buf;
     packed.resize((size_t)ph * pw);
-    a_buf.resize((size_t)out_h * out_w);
-    b_buf.resize((size_t)out_h * out_w);
-    t_buf.resize((size_t)out_h * out_w);
+    a_buf.resize(scratch);
+    b_buf.resize(scratch);
+    t_buf.resize(scratch);
     for (int c = 0; c < C; c++) {
         const T s = (T)(1.0 / ((chan_scales ? chan_scales[c] : 1.0) * q_scale));
         const int32_t* src = arr + (size_t)c * ph * pw;

@@ -113,3 +113,51 @@ def test_device_encoder_rejects_odd_ll(rng):
     arr = (rng.standard_normal((1, 12, 12)) * 100).astype(np.int32)
     with pytest.raises(ValueError):
         encode_device(arr, 3, 3, 1000)
+
+
+def test_device_encoder_adversarial_capacity(rng):
+    """Worst-case-ish stream (round-1 advisor / verdict item 3): one huge
+    magnitude per 2x2 sibling group keeps everything in the lists for all
+    32 planes. Must be bit-exact at full stream — never silently truncated."""
+    arr = rng.choice([-1, 1], size=(1, 32, 32)).astype(np.int32)
+    arr[0, ::2, ::2] = 2**31 - 1  # max_n = 30 via the f32-truncated rule
+    _check(arr, 4, 4, 10**9)
+
+
+def test_device_encoder_overflow_detected():
+    """With a deliberately tiny capacity the encoder must FLAG overflow
+    (previously: out-of-range scatters dropped silently -> corrupt
+    stream with no error)."""
+    import jax.numpy as jnp
+
+    from spiht_tpu.codec import device_encoder as de
+
+    rng = np.random.default_rng(7)
+    arr = (rng.standard_normal((1, 16, 16)) * 1000).astype(np.int32)
+    fn = de.encode_device_fn(1, 16, 16, 4, 4, bits_per_cell=1)
+    from spiht_tpu.codec.oracle import compute_max_n
+
+    words, total, overflow = fn(jnp.asarray(arr), compute_max_n(arr), 10**9)
+    assert bool(overflow)
+    # the true required length is still reported (saturation kicks in far
+    # past the capacity); the native stream's byte count is its ceiling
+    nat = runtime.load()
+    want, _ = nat.encode(arr, 4, 4, 10**9)
+    assert (len(want) - 1) * 8 < int(total) <= len(want) * 8
+
+
+def test_api_falls_back_on_capacity_overflow(rng, monkeypatch):
+    """api.encode must transparently fall back to the host scheduler when
+    the device buffer would overflow."""
+    from spiht_tpu.codec import api, device_encoder
+
+    def tiny_encode_device(arr, ll_h, ll_w, max_bits):
+        raise device_encoder.CapacityOverflow(999999, 1024)
+
+    monkeypatch.setenv("SPIHT_TPU_DEVICE_ENCODER", "1")
+    monkeypatch.setattr(device_encoder, "encode_device", tiny_encode_device)
+    arr = (rng.standard_normal((1, 16, 16)) * 300).astype(np.int32)
+    nat = runtime.load()
+    want = nat.encode(arr, 4, 4, 5000)
+    got = api.encode(arr, 4, 4, 5000)
+    assert got == want

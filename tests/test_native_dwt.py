@@ -73,3 +73,19 @@ def test_native_backend_bitstreams_match_numpy_backend(rng, monkeypatch):
     er_nat = spiht_tpu.encode_image(im, settings, level=2, max_bits=4000)
     assert er_np.encoded_bytes == er_nat.encoded_bytes
     assert er_np.max_n == er_nat.max_n
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 3), (1, 3, 64), (2, 64, 4)])
+def test_skinny_dims_no_heap_overflow(rng, shape):
+    """Regression (round-1 advisor): with a spatial dim < filter_len-1 the
+    level output GROWS (coeff_len(n,F)=(n+F-1)/2 > n), so h*w-sized scratch
+    overflowed the heap. forward/inverse must match numpy, not crash."""
+    im = rng.random(shape)
+    s = SpihtSettings()  # bior2.2, F=6 > 3+1
+    a_np, lh, lw = transform.forward_numpy(im, s, 1)
+    a_nat, lh2, lw2 = transform.forward_native(im, s, 1)
+    assert (lh, lw) == (lh2, lw2)
+    assert (a_np != a_nat).mean() < 1e-4
+    r_np = transform.inverse_numpy(a_np, shape[1], shape[2], 1, s)
+    r_nat = transform.inverse_native(a_np, shape[1], shape[2], 1, s)
+    np.testing.assert_allclose(r_nat, r_np, atol=1e-12)
