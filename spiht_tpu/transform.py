@@ -113,7 +113,9 @@ def forward_native(
     lv = level
     if lv is None:
         lv = min(dwt_max_level(h, wav.dec_len), dwt_max_level(w, wav.dec_len))
-    if nat is None or lv < 1:
+    if nat is None or lv < 1 or settings.mode == "periodization":
+        # periodization (wraparound + odd-length duplication per level)
+        # is implemented in the numpy/JAX paths only
         return forward_numpy(image, settings, level)
     if settings.color_model is not None:
         image = color_models.convert(image, "RGB", settings.color_model)
@@ -159,7 +161,7 @@ def inverse_native(
     lv = level
     if lv is None:
         lv = min(dwt_max_level(h, wav.dec_len), dwt_max_level(w, wav.dec_len))
-    if nat is None or lv < 1:
+    if nat is None or lv < 1 or settings.mode == "periodization":
         return inverse_numpy(rec_arr, h, w, level, settings, slices)
     if slices is None:
         slices, _, _ = get_slices_and_h_w(h, w, settings, level)

@@ -142,12 +142,17 @@ def dwt1d(
     """
     w = _as_wavelet(wavelet)
     F = w.dec_len
-    if mode == "periodization":
-        raise NotImplementedError("mode='periodization' is not supported")
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     out_len = dwt_coeff_len(n, F, mode)
-    ext2 = extend(x, F - 1, mode)[..., 1:]
+    if mode == "periodization":
+        # pywt periodization: duplicate the last sample if odd, then
+        # periodic extension; out_len = ceil(n/2). Static shapes only.
+        if n % 2 == 1:
+            x = jnp.concatenate([x, x[..., -1:]], axis=-1)
+        ext2 = extend(x, F - 1, "periodic")[..., 1:]
+    else:
+        ext2 = extend(x, F - 1, mode)[..., 1:]
 
     cA = _shift_mac(ext2, np.asarray(w.dec_lo)[::-1], 2, out_len)
     cD = _shift_mac(ext2, np.asarray(w.dec_hi)[::-1], 2, out_len)
@@ -171,13 +176,25 @@ def idwt1d(
     """
     w = _as_wavelet(wavelet)
     F = w.rec_len
-    if mode == "periodization":
-        raise NotImplementedError("mode='periodization' is not supported")
     if cA is None and cD is None:
         raise ValueError("need at least one of cA, cD")
     ref = cA if cA is not None else cD
     ref = jnp.moveaxis(ref, axis, -1)
     n = ref.shape[-1]
+    if mode == "periodization":
+        # circular synthesis via periodic coefficient padding (p = F
+        # covers all wrapped contributions), linear synthesis, central
+        # window [2p, 2p + 2n). Static gather; jit-friendly.
+        p = F
+        idx = np.arange(-p, n + p) % n
+
+        def _pad(c):
+            if c is None:
+                return None
+            return jnp.take(jnp.moveaxis(c, axis, -1), idx, axis=-1)
+
+        full = idwt1d(_pad(cA), _pad(cD), w, "zero", axis=-1)
+        return jnp.moveaxis(full[..., 2 * p : 2 * p + 2 * n], -1, axis)
     out_len = 2 * n - F + 2
     lead = ref.shape[:-1]
     n_half = (out_len + 1) // 2  # even-position outputs; odd = out_len//2

@@ -155,10 +155,14 @@ def dwt1d(
     n = x.shape[-1]
     out_len = dwt_coeff_len(n, F, mode)
     if mode == "periodization":
-        # The reference README explicitly recommends against periodization
-        # (reference README.md:38-59); deliberately unsupported for now.
-        raise NotImplementedError("mode='periodization' is not supported")
-    ext = extend(x, F - 1, mode)
+        # pywt periodization: odd-length input is first extended by
+        # duplicating the last sample, then the signal is treated as
+        # periodic; out_len = ceil(n/2). Same conv phase as other modes.
+        if n % 2 == 1:
+            x = np.concatenate([x, x[..., -1:]], axis=-1)
+        ext = extend(x, F - 1, "periodic")
+    else:
+        ext = extend(x, F - 1, mode)
     cA = _downconv(ext, np.asarray(w.dec_lo), out_len)
     cD = _downconv(ext, np.asarray(w.dec_hi), out_len)
     return np.moveaxis(cA, -1, axis), np.moveaxis(cD, -1, axis)
@@ -193,7 +197,21 @@ def idwt1d(
     ref = np.moveaxis(np.asarray(ref, dtype=np.float64), axis, -1)
     n = ref.shape[-1]
     if mode == "periodization":
-        raise NotImplementedError("mode='periodization' is not supported")
+        # circular synthesis, out_len = 2n: periodically pad the
+        # coefficients far enough (p = F covers every wrapped
+        # contribution for any n >= 1), run the linear synthesis, and
+        # take the central window [2p, 2p + 2n).
+        p = F
+        idx = np.arange(-p, n + p) % n
+
+        def _pad(c):
+            if c is None:
+                return None
+            c = np.moveaxis(np.asarray(c, dtype=np.float64), axis, -1)
+            return c[..., idx]
+
+        full = idwt1d(_pad(cA), _pad(cD), w, "zero", axis=-1)
+        return np.moveaxis(full[..., 2 * p : 2 * p + 2 * n], -1, axis)
     out_len = 2 * n - F + 2
     out = np.zeros(ref.shape[:-1] + (out_len,), dtype=np.float64)
     for c, filt in ((cA, w.rec_lo), (cD, w.rec_hi)):

@@ -148,3 +148,33 @@ def test_max_bits_byte_budget(image):
     s = SpihtSettings()
     enc = encode_image(image, s, max_bits=8000)
     assert len(enc.encoded_bytes) == 1000
+
+
+# ---------------------------------------------------------------------------
+# round 2: codec round-trips at non-default wavelet/mode combos
+# (reference accepts any pywt wavelet: spiht_wrapper.py:55-57)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "wavelet,mode,shape,level",
+    [
+        ("sym4", "periodization", (3, 64, 64), 3),
+        ("coif2", "symmetric", (1, 56, 72), 2),
+        ("bior5.5", "reflect", (2, 48, 48), 2),
+        ("sym8", "reflect", (3, 40, 40), 2),
+        ("dmey", "periodization", (1, 128, 128), 1),
+    ],
+)
+def test_roundtrip_new_wavelets(rng, wavelet, mode, shape, level):
+    settings = SpihtSettings(
+        wavelet=wavelet, mode=mode, quantization_scale=100.0
+    )
+    im = rng.random(shape)
+    er = spiht_tpu.encode_image(im, settings, level=level)
+    rec = spiht_tpu.decode_image(er, settings)
+    rec = np.asarray(rec)[:, : shape[1], : shape[2]]
+    err = np.abs(rec - im)
+    # full-stream round-trip: error bounded by quantization (1/100) plus
+    # dmey's ~1e-5 FIR truncation
+    assert np.quantile(err, 0.99) < 0.05, (wavelet, mode)

@@ -29,15 +29,25 @@ def test_haar():
 
 
 def test_db2_known_values():
+    """pywt orientation: the published table is rec_lo; dec_lo is its
+    reverse (e.g. the pywt docs' db3 example prints dec_lo starting with
+    the SMALL tap 0.0352...). Round 1 had these swapped."""
     w = build_wavelet("db2")
-    expected_dec_lo = [
+    table = [
         0.48296291314469025,
         0.836516303737469,
         0.22414386804185735,
         -0.12940952255092145,
     ]
-    assert np.allclose(w.dec_lo, expected_dec_lo, atol=1e-12)
-    assert np.allclose(w.rec_lo, expected_dec_lo[::-1], atol=1e-12)
+    assert np.allclose(w.rec_lo, table, atol=1e-12)
+    assert np.allclose(w.dec_lo, table[::-1], atol=1e-12)
+
+
+def test_db3_pywt_docs_orientation():
+    """Anchor from the PyWavelets docs Wavelet('db3') example."""
+    w = build_wavelet("db3")
+    assert abs(w.dec_lo[0] - 0.03522629188210) < 1e-10
+    assert abs(w.dec_lo[5] - 0.33267055295096) < 1e-10
 
 
 def test_bior22_known_values():
@@ -104,6 +114,136 @@ def test_dwt_coeff_len():
 
 def test_unsupported_raises():
     with pytest.raises(ValueError):
-        build_wavelet("bior5.5")
+        build_wavelet("bior7.7")
     with pytest.raises(ValueError):
         build_wavelet("nope")
+    with pytest.raises(ValueError):
+        build_wavelet("sym1")
+    with pytest.raises(ValueError):
+        build_wavelet("coif6")
+
+
+# ---------------------------------------------------------------------------
+# round 2: symlets, coiflets, dmey, bior5.5 (verdict item 5)
+# ---------------------------------------------------------------------------
+
+SYM4_TABLE = [-0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+              0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+              -0.012603967262037833, 0.0322231006040427]
+SYM5_TABLE = [0.027333068345077982, 0.029519490925774643,
+              -0.039134249302383094, 0.1993975339773936, 0.7234076904024206,
+              0.6339789634582119, 0.01660210576452232, -0.17532808990845047,
+              -0.021101834024758855, 0.019538882735286728]
+SYM8_TABLE = [-0.0033824159510061256, -0.0005421323317911481,
+              0.03169508781149298, 0.007607487324917605, -0.1432942383508097,
+              -0.061273359067658524, 0.4813596512583722, 0.7771857517005235,
+              0.3644418948353314, -0.05194583810770904, -0.027219029917056003,
+              0.049137179673607506, 0.003808752013890615, -0.01495225833704823,
+              -0.0003029205147213668, 0.0018899503327594609]
+
+
+@pytest.mark.parametrize(
+    "name,table",
+    [("sym4", SYM4_TABLE), ("sym5", SYM5_TABLE), ("sym8", SYM8_TABLE)],
+)
+def test_symlet_published_tables(name, table):
+    """The least-asymmetric factorization must land on the published
+    values (table orientation = rec_lo, pywt convention)."""
+    w = build_wavelet(name)
+    assert np.allclose(w.rec_lo, table, atol=1e-10)
+    assert np.allclose(w.dec_lo, table[::-1], atol=1e-10)
+
+
+def test_sym23_equal_db23():
+    """For N=2,3 the factorization is unique: symN == dbN (pywt fact)."""
+    for n in (2, 3):
+        assert build_wavelet(f"sym{n}").rec_lo == build_wavelet(f"db{n}").rec_lo
+
+
+def test_coif1_exact_closed_form():
+    s7 = math.sqrt(7.0)
+    expect = np.array(
+        [s7 - 3, 1 - s7, 14 - 2 * s7, 14 + 2 * s7, 5 + s7, 1 - s7]
+    ) / (16 * SQRT2)
+    w = build_wavelet("coif1")
+    assert np.allclose(w.rec_lo, expect, atol=1e-12)
+
+
+def test_coif2_published_values():
+    w = build_wavelet("coif2")
+    # spot anchors from the published coiflet table
+    assert abs(w.rec_lo[7] - 0.812723635445542) < 1e-8
+    assert abs(w.rec_lo[6] - 0.417005184421693) < 1e-8
+    assert abs(w.rec_lo[0] + 0.000720549445364512) < 1e-8
+
+
+@pytest.mark.parametrize("K", [1, 2, 3, 4, 5])
+def test_coiflet_moment_system(K):
+    """Orthonormality + 2K vanishing wavelet moments + 2K-1 vanishing
+    scaling moments about tap 4K-1 (the coiflet definition)."""
+    w = build_wavelet(f"coif{K}")
+    h = np.asarray(w.rec_lo)
+    L = 6 * K
+    assert len(h) == L
+    assert abs(float(h @ h) - 1.0) < 1e-10
+    for m in range(1, 3 * K):
+        assert abs(float(h[: L - 2 * m] @ h[2 * m :])) < 1e-10, m
+    n = (np.arange(L) - (4 * K - 1)) / K
+    sg = (-1.0) ** np.arange(L)
+    for j in range(2 * K):
+        assert abs(float((sg * n**j * h).sum())) < 1e-8, ("wav", j)
+    for j in range(1, 2 * K):
+        assert abs(float((n**j * h).sum())) < 1e-8, ("scal", j)
+
+
+def test_dmey_properties():
+    """62 taps, near-orthogonal (PR err ~1e-5 = truncated Meyer tail),
+    center taps matching the continuous Meyer integral."""
+    w = build_wavelet("dmey")
+    h = np.asarray(w.rec_lo)
+    assert len(h) == 62
+    # whole-sample symmetric about tap 31 (up to the dropped edge tap)
+    assert np.allclose(h[1:], h[1:][::-1], atol=1e-14)
+    assert abs(h[31] - 0.7437504) < 1e-6
+    assert abs(h[30] - 0.4440947) < 1e-6
+    assert abs(float(h @ h) - 1.0) < 5e-5
+    for m in range(1, 31):
+        assert abs(float(h[: 62 - 2 * m] @ h[2 * m :])) < 5e-5
+
+
+def test_bior55_defining_system():
+    """9/11-tap symmetric PR pair, 4/6 zeros at pi, padded to 12 taps."""
+    w = build_wavelet("bior5.5")
+    assert w.dec_len == 12
+    dec = np.asarray(w.dec_lo)
+    rec = np.asarray(w.rec_lo)
+    # padding: dec 2 leading + 1 trailing zero; rec 1 trailing zero
+    assert dec[0] == dec[1] == dec[-1] == 0.0
+    assert rec[-1] == 0.0
+    d9, r11 = dec[2:11], rec[0:11]
+    assert np.allclose(d9, d9[::-1]) and np.allclose(r11, r11[::-1])
+    # published low-precision anchors
+    assert abs(d9[4] - 0.736660) < 1e-5
+    assert abs(r11[5] - 0.899506) < 1e-5
+    # PR: product filter halfband
+    p = np.convolve(d9, r11)
+    assert abs(p[9] - 1.0) < 1e-12
+    for m in range(1, 5):
+        assert abs(p[9 + 2 * m]) < 1e-12
+    # vanishing moments: 4 zeros at pi for dec, 6 for rec
+    s9 = (-1.0) ** np.arange(9)
+    n9 = np.arange(9.0) - 4
+    assert abs((s9 * d9).sum()) < 1e-12
+    assert abs((s9 * n9**2 * d9).sum()) < 1e-11
+    s11 = (-1.0) ** np.arange(11)
+    n11 = np.arange(11.0) - 5
+    for j in (0, 2, 4):
+        assert abs((s11 * n11**j * rec[:11]).sum()) < 1e-10
+
+
+def test_wavelist_families():
+    names = wavelist()
+    assert "sym4" in names and "sym20" in names
+    assert "coif1" in names and "coif5" in names
+    assert "dmey" in names
+    assert "bior5.5" in names and "rbio5.5" in names
