@@ -155,13 +155,48 @@ def main() -> None:
         except Exception as e:
             log(f"jax pipeline unavailable: {type(e).__name__}: {e}")
 
+    # ---- device-encoder lane (full on-device bitstream) ------------------
+    # Budgeted subprocess: first-ever run pays the remote compile (minutes
+    # on the tunneled dev chip), later runs hit the persistent jax
+    # compilation cache and finish in seconds. Disable: SPIHT_BENCH_DEVICE=0.
+    device = {}
+    if os.environ.get("SPIHT_BENCH_DEVICE", "1") == "1":
+        import subprocess
+
+        budget = int(os.environ.get("SPIHT_BENCH_DEVICE_BUDGET", "420"))
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "spiht_tpu.codec.device_bench",
+                 f"{H}x{W}", str(LEVEL), str(BPP)],
+                capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            log(proc.stderr.strip())
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    device = json.loads(line)
+        except subprocess.TimeoutExpired:
+            log("device-encoder lane: first-run compile exceeded budget; "
+                "it will hit the compilation cache next time")
+        except Exception as e:
+            log(f"device-encoder lane failed: {type(e).__name__}: {e}")
+
     mpps = max(native_mpps, jax_mpps)
-    print(json.dumps({
+    result = {
         "metric": "encode_mpps",
         "value": round(mpps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mpps / base_mpps, 3),
-    }))
+    }
+    if device:
+        result["device_encode_mpps_full"] = device.get("mpps_full")
+        result[f"device_encode_mpps_{BPP}bpp"] = device.get(
+            f"mpps_{BPP}bpp"
+        )
+        result["device_encode_geom"] = device.get("geom")
+        result["device_encode_backend"] = device.get("backend")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,89 @@
+"""Device-encoder benchmark lane: full on-device bitstream MP/s.
+
+Run as `python -m spiht_tpu.codec.device_bench [HxW [level [bpp]]]`;
+prints ONE json line with the measured rates at the headline geometry
+(3x512x512, level 6 — the config BASELINE.md tracks). Meant to be
+invoked by bench.py as a budgeted subprocess (remote compiles through
+the dev tunnel take minutes on first run; the persistent jax
+compilation cache makes reruns take seconds).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_spiht"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spiht_tpu import SpihtSettings, transform
+    from spiht_tpu.codec.device_encoder import encode_device_fn
+    from spiht_tpu.codec.oracle import compute_max_n
+
+    hw = sys.argv[1] if len(sys.argv) > 1 else "512x512"
+    h_in, w_in = (int(v) for v in hw.split("x"))
+    level = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    bpp = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+
+    rng = np.random.default_rng(1234)
+    yy, xx = np.mgrid[0:h_in, 0:w_in].astype(np.float64)
+    im = np.stack(
+        [
+            0.5
+            + 0.25 * np.sin(xx / 37.0 + c) * np.cos(yy / 53.0)
+            + 0.15 * (xx / w_in > 0.4)
+            for c in range(3)
+        ]
+    )
+    im = np.clip(im + 0.05 * rng.standard_normal(im.shape), 0, 1)
+
+    settings = SpihtSettings()
+    arr, llh, llw = transform.forward_numpy(im, settings, level)
+    c, h, w = arr.shape
+    mn = compute_max_n(arr)
+    log(f"device bench: backend={jax.default_backend()} geom={arr.shape} "
+        f"ll=({llh},{llw}) max_n={mn}")
+    fn = encode_device_fn(c, h, w, llh, llw)
+    ja = jax.device_put(jnp.asarray(arr))
+    out = {"geom": f"{c}x{h}x{w}", "level": level,
+           "backend": jax.default_backend()}
+    for tag, mb in (
+        ("full", 2**31 - 2),
+        (f"{bpp}bpp", int(round(bpp * h_in * w_in))),
+    ):
+        t0 = time.perf_counter()
+        words, total, ovf = fn(ja, mn, mb)
+        jax.block_until_ready(words)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            words, total, ovf = fn(ja, mn, mb)
+            jax.block_until_ready(words)
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        mpps = c * h * w / 1e6 / med
+        log(f"{tag}: first {compile_s:.1f}s, median {med*1e3:.0f} ms "
+            f"= {mpps:.2f} MP/s, bits={int(total)}")
+        out[f"mpps_{tag}"] = round(mpps, 3)
+        out[f"ms_{tag}"] = round(med * 1e3, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

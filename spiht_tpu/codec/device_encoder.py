@@ -6,27 +6,36 @@ from the coefficient array, using the validated closed forms:
 
   * event planes from the significance pyramids (M/D/G) and the
     top-down (ES, EC) entry propagation;
-  * within-plane LIS order from ONE masked lexicographic sort per plane
-    over (depth, root rank, packed branch path) keys
-    (`order_prototype.predict_events_pathkey`, proven == the reference
-    worklist order);
+  * CLOSED-FORM worklist membership: an entity is in plane n's worklist
+    iff its presence window [fire plane, append plane] contains n — the
+    chain conditions round 1 verified per plane are already encoded in
+    the propagated entry planes, so no per-plane cascade loop exists;
+  * cascade roots precomputed ONCE per image: join planes are
+    non-decreasing up the ancestor chain, so the plane-n root of an
+    entity is the plane-independent "first ancestor with a later join
+    plane", found by top-down propagation alongside ES/EC;
+  * within-plane LIS order from one packed-key sort per plane over
+    (worklist depth, root join keys, STATIC quadtree path) — the branch
+    path is static per entity (2 bits per level), not built per plane
+    (`order_prototype.predict_events_pathkey` proved the ordering
+    closed form == the reference worklist order);
   * LIP / refinement orders from carried (append plane, append seq)
-    keys, updated by scatters as parents fire;
+    keys, updated as parents fire;
   * absolute bit offsets from prefix sums; LSB-first packing by
     scatter-adding single-bit contributions into uint32 words.
 
-The plane loop is a `lax.fori_loop` with the list-order state carried,
-so the compiled program is one loop body, not 32 unrolled copies.
+The plane loop is a `lax.while_loop` that visits only planes
+max_n..0 and exits early once the bit budget is exhausted (low-bpp
+encodes touch only the top few planes).
 
-This is the v0 port: single image (C, H, W) with even LL dims, full
-correctness, tested bit-exact against the native kernel/oracle under jit
-on the CPU backend (with and without x64; all state is int32), and
-VERIFIED BIT-EXACT ON REAL TPU HARDWARE (v5e, 1x16x16 geometry; the dev
-tunnel's remote compiler takes ~80s there and exceeds its practical
-window for large geometries — a compile-scale limitation of the tunnel,
-not of the program). Per-plane complexity is full-array O(N log N)
-sorts; production speed needs the segmented-sort optimization (sort
-only active entities), which also shrinks the program — round-2 work.
+Single image (C, H, W) with even LL dims; bit-exact against the native
+kernel/oracle under jit (CPU, with and without x64 — all state int32)
+and on real TPU hardware, where the 3x512x512/level-6 headline
+geometry compiles and encodes bit-exactly (see BASELINE.md for
+measured wall-times). The residual cost is TPU irregular-access ops
+(sorts ~8ms, random gathers ~13ms per 1.7M elements on v5e): ~4 such
+ops per plane remain — further reduction means moving the remaining
+per-entity work into sort-carried payloads (sorted-space emission).
 """
 
 from __future__ import annotations
@@ -146,7 +155,21 @@ def _geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
 
     lip_init_rank = raster_rank(in_ll_f)
     a_init_rank = raster_rank(init_set_f)
-    depth_max = 2 * tree_height(h, w, ll_h, ll_w) + 2
+    th = tree_height(h, w, ll_h, ll_w)
+    # static tree depth + packed root-relative path (2 bits per level).
+    # Within one plane's cascade, the worklist (BFS) order of two
+    # entities under the same root is decided by their first differing
+    # child slot — i.e. by comparing these static path keys (the shared
+    # prefix above the root compares equal and the suffixes have equal
+    # length at equal cascade depth).
+    tdepth = np.zeros(c * h * w, np.int32)
+    path_abs = np.zeros(c * h * w, np.int64)
+    for _ in range(th + 1):
+        tdepth = np.where(hp_f, tdepth[pidx] + 1, 0).astype(np.int32)
+        path_abs = np.where(hp_f, path_abs[pidx] * 4 + slot, 0)
+    if int(tdepth.max(initial=0)) * 2 > 31:
+        raise ValueError("tree too deep for packed int32 path keys")
+    depth_max = 2 * th + 2
     return dict(
         in_ll=jnp.asarray(in_ll_f),
         init_set=jnp.asarray(init_set_f),
@@ -157,20 +180,40 @@ def _geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
         slot=jnp.asarray(slot),
         lip_init_rank=jnp.asarray(lip_init_rank),
         a_init_rank=jnp.asarray(a_init_rank),
+        tdepth=jnp.asarray(tdepth),
+        path=jnp.asarray(path_abs.astype(np.int32)),
+        bits_path=max(1, 2 * int(tdepth.max(initial=0))),
+        tree_height=th,
         depth_max=depth_max,
     )
 
 
-def _rank_of(keys, present):
-    """Dense positions: present entities ranked by multi-key lexsort.
+def _rank_of(keys_bits, present):
+    """Dense positions: present entities ranked by packed-key sort.
 
-    keys: tuple of int32 arrays, FIRST is the primary key. Absent
-    entities rank after all present ones. Returns (pos, count) where
-    pos[i] = position of entity i (garbage if absent).
+    keys_bits: list of (int32 array, bit width) pairs, most significant
+    first; values must be non-negative and fit the stated width for
+    present entities. Keys are greedily packed into as few int32 sort
+    lanes as possible (TPU variadic sorts cost per operand, so 7-key
+    lexsorts become 1-3 packed lanes). Absent entities rank after all
+    present ones. Returns (pos, count).
     """
-    absent = (~present).astype(_I32)
-    order = jnp.lexsort(tuple(reversed((absent,) + keys)))
-    n = keys[0].shape[0]
+    n = keys_bits[0][0].shape[0]
+    lanes = []
+    cur, used = (~present).astype(_I32), 1
+    for arr, nb in keys_bits:
+        arr = jnp.clip(arr.astype(_I32), 0, (1 << nb) - 1)
+        if used + nb > 31:
+            lanes.append(cur)
+            cur, used = arr, nb
+        else:
+            cur = (cur << nb) | arr
+            used += nb
+    lanes.append(cur)
+    if len(lanes) == 1:
+        order = jnp.argsort(lanes[0])
+    else:
+        order = jnp.lexsort(tuple(reversed(lanes)))
     pos = jnp.zeros(n, _I32).at[order].set(jnp.arange(n, dtype=_I32))
     return pos, present.astype(_I32).sum()
 
@@ -201,6 +244,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
         max_bits = jnp.asarray(max_bits, _I32)
 
         INF = max_n + 1
+        idxN = jnp.arange(N, dtype=_I32)
 
         # ---- ES / EC propagation -----------------------------------------
         es = jnp.where(g["init_set"], max_n, -1)
@@ -232,11 +276,63 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
 
         # number of sign bits among the 4 offspring when a set fires at D
         child_M = M[g["child"]]  # (N, 4)
+        child_neg = af[g["child"]] >= 0  # (N, 4) static per image
+
+        # ---- cascade roots, precomputed once per image -------------------
+        # Join planes are non-decreasing up the worklist-ancestor chain
+        # (an entity enters LIS no later than the entry that appends it),
+        # so the plane-n cascade root of entity e — the first ancestor
+        # instance appended at a plane > n — equals the first ancestor
+        # with appendP > appendP(e), a PLANE-INDEPENDENT instance R(e).
+        # Propagate (R, its appendP, its tdepth, its type) top-down once;
+        # the per-plane cascade loop (the round-1 hot spot: ~3 random
+        # gathers x tree_height per plane) disappears entirely.
+        th = g["tree_height"]
+        aPb_p = b_appendP[g["pidx"]]
+        td_p = g["tdepth"][g["pidx"]]
+        pidxN = g["pidx"] + N
+
+        def root_prop(_, st):
+            R_a, PR_a, tdR_a, TR_a = st
+            cond_b = a_appendP > b_appendP  # A-inst of same node is root
+            R_b = jnp.where(cond_b, idxN, R_a)
+            PR_b = jnp.where(cond_b, a_appendP, PR_a)
+            tdR_b = jnp.where(cond_b, g["tdepth"], tdR_a)
+            TR_b = jnp.where(cond_b, 0, TR_a)
+            cond_a = aPb_p > a_appendP  # parent B-inst is root
+            R_a = jnp.where(cond_a, pidxN, R_b[g["pidx"]])
+            PR_a = jnp.where(cond_a, aPb_p, PR_b[g["pidx"]])
+            tdR_a = jnp.where(cond_a, td_p, tdR_b[g["pidx"]])
+            TR_a = jnp.where(cond_a, 1, TR_b[g["pidx"]])
+            return R_a, PR_a, tdR_a, TR_a, R_b, PR_b, tdR_b, TR_b
+
+        z = jnp.zeros(N, _I32)
+        st = (z, z, z, z)
+        for _ in range(th + 1):
+            out8 = root_prop(None, st)
+            st = out8[:4]
+        R_a, PR_a, tdR_a, TR_a, R_b, PR_b, tdR_b, TR_b = out8
+        R2 = jnp.concatenate([R_a, R_b])
+        PR2 = jnp.concatenate([PR_a, PR_b])
+        tdR2 = jnp.concatenate([tdR_a, tdR_b])
+        TR2 = jnp.concatenate([TR_a, TR_b])
+        aP2 = jnp.concatenate([a_appendP, b_appendP])
+        td2 = jnp.concatenate([g["tdepth"], g["tdepth"]])
+        typ2 = jnp.concatenate([jnp.zeros(N, _I32), jnp.ones(N, _I32)])
+        inst2 = jnp.arange(2 * N, dtype=_I32)
+        path2 = jnp.concatenate([g["path"], g["path"]])
+        # hoisted parent data for the LIP/LSP append-key updates
+        aFIRE_p = a_fire[g["pidx"]]
+        aEX_p = a_exists[g["pidx"]]
+        aES_p = jnp.where(
+            g["init_set"][g["pidx"]], max_n, es[g["pidx"]]
+        )
 
         # ---- plane loop ---------------------------------------------------
         # carries: append sequences (set when appended), LSP keys, output
         words0 = jnp.zeros(cap_words, jnp.uint32)
         carry0 = dict(
+            i=jnp.zeros((), _I32),
             a_S=jnp.where(g["init_set"], g["a_init_rank"], -1).astype(_I32),
             b_S=jnp.full(N, -1, _I32),
             lip_S=jnp.where(g["in_ll"], g["lip_init_rank"], -1).astype(_I32),
@@ -245,6 +341,10 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             off=jnp.zeros((), _I32),
             words=words0,
         )
+        # packed sort-key widths (trace-time python ints)
+        bits_S = max((2 * N - 1).bit_length(), 1)  # worklist positions < 2N
+        bits_listS = max((8 * N + 3).bit_length(), 1)  # list keys < 8N+4
+        bits_path = g["bits_path"]
 
         def emit(words, pos, value, valid):
             """Scatter one bit per entry: stream position -> uint32 words."""
@@ -256,22 +356,21 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             )
             return words.at[word].add(contrib)
 
-        def body(i, carry):
+        def body(carry):
+            i = carry["i"]
             n = max_n - i
-            active = n >= 0
             off = carry["off"]
             words = carry["words"]
 
             # ---------------- LIP pass ----------------
             lp = (
-                active
-                & lip_exists
+                lip_exists
                 & (jnp.maximum(M, 0) <= n)
                 & (n <= lip_hi)
                 & (carry["lip_S"] >= 0)
             )
             lip_pos, lip_cnt = _rank_of(
-                (-lip_appendP, carry["lip_S"]), lp
+                [(40 - lip_appendP, 6), (carry["lip_S"], bits_listS)], lp
             )
             fires_lip = lp & (M == n)
             nbits = jnp.where(lp, 1 + fires_lip.astype(_I32), 0)
@@ -287,7 +386,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             cell_off = off + pre[lip_pos]
             words = emit(words, cell_off, lp & (M >= n), lp)
             words = emit(words, cell_off + 1, af >= 0, fires_lip)
-            lip_bits = jnp.where(active, by_pos.sum(dtype=_I32), 0)
+            lip_bits = by_pos.sum(dtype=_I32)
             off = jnp.minimum(off + lip_bits, sat)
             # record LSP phase-0 keys for cells firing via LIP
             lsp_phase = jnp.where(fires_lip, 0, carry["lsp_phase"])
@@ -295,153 +394,96 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
 
             # ---------------- LIS pass ----------------
             a_pres = (
-                active
-                & a_exists
+                a_exists
                 & (jnp.maximum(a_fire, 0) <= n)
                 & (n <= jnp.where(g["init_set"], max_n, es))
             )
             b_pres = (
-                active & b_exists & (jnp.maximum(b_fire, 0) <= n)
-                & (n <= b_appendP)
+                b_exists & (jnp.maximum(b_fire, 0) <= n) & (n <= b_appendP)
             )
-            a_root = a_pres & (a_appendP > n)
-            b_root = b_pres & (b_appendP > n)
-            # root ranks: merge both types by (appendP desc, appendS, typ)
-            root_pres = a_root | b_root
-            rkP = jnp.where(a_root, a_appendP, b_appendP)
-            rkS = jnp.where(a_root, carry["a_S"], carry["b_S"])
-            rkT = b_root.astype(_I32)
-            # one joint ranking over entities; A and B of the same cell
-            # can both be roots -> rank them jointly via two passes:
-            # entity space doubled: (idx, typ). Implement with concatenated
-            # arrays of length 2N.
-            P2 = jnp.concatenate([
-                jnp.where(a_root, a_appendP, -BIG),
-                jnp.where(b_root, b_appendP, -BIG),
-            ])
-            S2 = jnp.concatenate([carry["a_S"], carry["b_S"]])
-            T2 = jnp.concatenate([
-                jnp.zeros(N, _I32), jnp.ones(N, _I32)
-            ])
-            pres2 = jnp.concatenate([a_root, b_root])
-            root_rank2, _ = _rank_of((-P2, S2, T2), pres2)
-
-            # path construction over the doubled entity space
-            # path keys: depth, root rank, branch words (3 bits/step)
-            depth2 = jnp.where(pres2, 0, BIG)
-            rank2 = jnp.where(pres2, root_rank2, 0)
-            # branch path packed into four i32 lanes of 10 codes each
-            # (3 bits per step; equal depth => equal length => integer
-            # compare is lex order). Pure int32: works without x64/on TPU.
-            pw2 = [jnp.zeros(2 * N, _I32) for _ in range(4)]
-            in_cascade2 = pres2
             a_fireN = a_pres & (a_fire == n)
-            b_fireN = b_pres & (b_fire == n)
-            a_appN = a_exists & (a_appendP == n)
-            b_appN = b_exists & (b_appendP == n)
 
-            def cascade_body(_, st):
-                depth2, rank2, pw2, in_cascade2 = st
-                a_in = in_cascade2[:N]
-                newB = b_appN & a_fireN & a_in & (~in_cascade2[N:])
-                dB = depth2[:N] + 1
-
-                def _append(lanes, depth_new, code):
-                    # append a 3-bit code into lane (depth_new-1)//10
-                    out = []
-                    for li in range(4):
-                        sel = ((depth_new - 1) // 10) == li
-                        out.append(
-                            jnp.where(sel, lanes[li] * 8 + code, lanes[li])
-                        )
-                    return out
-
-                lanesA = [pw[:N] for pw in pw2]
-                lanesB = [pw[N:] for pw in pw2]
-                pwB = _append(lanesA, dB, _I32(0))
-                depth_b = jnp.where(newB, dB, depth2[N:])
-                rank_b = jnp.where(newB, rank2[:N], rank2[N:])
-                pw_b = [jnp.where(newB, x, y) for x, y in zip(pwB, lanesB)]
-                in_b = in_cascade2[N:] | newB
-                pb_in = in_b[g["pidx"]]
-                pb_fire = b_fireN[g["pidx"]]
-                newA = a_appN & pb_fire & pb_in & (~in_cascade2[:N])
-                dA = depth_b[g["pidx"]] + 1
-                pwA = _append(
-                    [x[g["pidx"]] for x in pw_b], dA, 1 + g["slot"]
-                )
-                depth_a = jnp.where(newA, dA, depth2[:N])
-                rank_a = jnp.where(newA, rank_b[g["pidx"]], rank2[:N])
-                pw_a = [jnp.where(newA, x, y) for x, y in zip(pwA, lanesA)]
-                in_a = in_cascade2[:N] | newA
-                return (
-                    jnp.concatenate([depth_a, depth_b]),
-                    jnp.concatenate([rank_a, rank_b]),
-                    [jnp.concatenate([x, y]) for x, y in zip(pw_a, pw_b)],
-                    jnp.concatenate([in_a, in_b]),
-                )
-
-            depth2, rank2, pw2, in_cascade2 = lax.fori_loop(
-                0, g["depth_max"], cascade_body,
-                (depth2, rank2, pw2, in_cascade2),
+            # Worklist membership is closed-form: an entity is in this
+            # plane's worklist iff it is present (its append plane has
+            # arrived and it has not yet fired away) — the chain
+            # conditions are already encoded in the propagated ES/EC
+            # planes. Roots/depths come from the precomputed per-image
+            # arrays; the only dynamic random access left is one gather
+            # for the root append-sequence keys.
+            in_a, in_b = a_pres, b_pres
+            in2 = jnp.concatenate([in_a, in_b])
+            selfroot = aP2 > n
+            S2all = jnp.concatenate([carry["a_S"], carry["b_S"]])
+            SR = S2all[R2]
+            rootP = jnp.where(selfroot, aP2, PR2)
+            rootS = jnp.where(selfroot, S2all, SR)
+            rootT = jnp.where(selfroot, typ2, TR2)
+            tdR_eff = jnp.where(selfroot, td2, tdR2)
+            # worklist (BFS) depth: A instance of a node k levels below
+            # its root sits at 2k - [root is a B entry]; its B instance
+            # one deeper; roots are depth 0 (uniform via typ2 - rootT).
+            depth2 = 2 * (td2 - tdR_eff) + typ2 - rootT
+            pos2, _ = _rank_of(
+                [
+                    (depth2, 6),
+                    (40 - rootP, 6),
+                    (rootS * 2 + rootT, bits_S + 1),
+                    (path2, bits_path),
+                ],
+                in2,
             )
-
-            # normalize path words to a common length per depth: paths of
-            # equal depth have equal length already; depth is the primary
-            # key so cross-depth comparison never reaches the path words.
-            pos2, _ = _rank_of((depth2, rank2, *pw2), in_cascade2)
             a_pos = pos2[:N]
             b_pos = pos2[N:]
 
             # per-entity bit counts in processing order
-            a_in = in_cascade2[:N]
-            b_in = in_cascade2[N:]
             signs = jnp.where(
                 a_fireN, (child_M == n).sum(axis=1).astype(_I32), 0
             )
-            a_bits = jnp.where(a_in, 1 + jnp.where(a_fireN, 4 + signs, 0), 0)
-            b_bits = jnp.where(b_in, 1, 0)
+            a_bits = jnp.where(in_a, 1 + jnp.where(a_fireN, 4 + signs, 0), 0)
+            b_bits = jnp.where(in_b, 1, 0)
             bits2 = jnp.concatenate([a_bits, b_bits])
             by_pos2 = jnp.zeros(2 * N, _I32).at[
-                jnp.where(in_cascade2, pos2, 2 * N - 1)
-            ].add(jnp.where(in_cascade2, bits2, 0))
+                jnp.where(in2, pos2, 2 * N - 1)
+            ].add(jnp.where(in2, bits2, 0))
             pre2 = jnp.cumsum(by_pos2, dtype=_I32) - by_pos2
             ent_off2 = off + pre2[pos2]
             a_off = ent_off2[:N]
             b_off = ent_off2[N:]
 
             # emit: A desc test
-            words = emit(words, a_off, D >= n, a_in)
+            words = emit(words, a_off, D >= n, in_a)
             # offspring tests + signs, in child order; intra-entity
             # offsets: 1 + sum over earlier children of (1 + sign)
             child_sign = (child_M == n) & a_fireN[:, None]
             child_sz = 1 + child_sign.astype(_I32)
             intra = jnp.cumsum(child_sz, axis=1, dtype=_I32) - child_sz  # (N, 4)
             for s in range(4):
-                cidx = g["child"][:, s]
                 copos = a_off + 1 + intra[:, s]
                 valid = a_fireN
-                words = emit(words, copos, M[cidx] >= n, valid)
+                words = emit(words, copos, child_M[:, s] >= n, valid)
                 words = emit(
-                    words, copos + 1, af[cidx] >= 0, valid & child_sign[:, s]
+                    words, copos + 1, child_neg[:, s],
+                    valid & child_sign[:, s],
                 )
             # B l-sig test
-            words = emit(words, b_off, G >= n, b_in)
-            lis_bits = jnp.where(active, by_pos2.sum(dtype=_I32), 0)
+            words = emit(words, b_off, G >= n, in_b)
+            lis_bits = by_pos2.sum(dtype=_I32)
 
             # carries for appended entities: appendS = processing position
-            a_S = jnp.where(a_appN & a_in & active, a_pos, carry["a_S"])
-            b_S = jnp.where(b_appN & b_in & active, b_pos, carry["b_S"])
+            a_appN = a_exists & (a_appendP == n)
+            b_appN = b_exists & (b_appendP == n)
+            a_S = jnp.where(a_appN & in_a, a_pos, carry["a_S"])
+            b_S = jnp.where(b_appN & in_b, b_pos, carry["b_S"])
             # LIP additions: non-significant offspring of A fires
-            parent_fire = a_fireN[g["pidx"]]
-            added_now = lip_added & (ec == n) & parent_fire & active
+            parent_fire = aEX_p & (aFIRE_p == n) & (n <= aES_p)
+            added_now = lip_added & (ec == n) & parent_fire
             lip_S = jnp.where(
                 added_now,
                 a_pos[g["pidx"]] * 4 + g["slot"],
                 carry["lip_S"],
             )
             # straight-to-LSP offspring (phase 1)
-            to_lsp = (ec == n) & (M == n) & parent_fire & active
+            to_lsp = (ec == n) & (M == n) & parent_fire
             lsp_phase = jnp.where(to_lsp, 1, lsp_phase)
             lsp_S = jnp.where(
                 to_lsp, a_pos[g["pidx"]] * 4 + g["slot"], lsp_S
@@ -449,22 +491,29 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             off = jnp.minimum(off + lis_bits, sat)
 
             # ---------------- refinement ----------------
-            rp = active & sig & (M > n)
+            rp = sig & (M > n)
             r_pos, r_cnt = _rank_of(
-                (M * 0 + (max_n - M), lsp_phase, lsp_S), rp
+                [(max_n - M, 6), (lsp_phase, 1), (lsp_S, bits_listS)], rp
             )
             r_off = off + r_pos
             words = emit(
                 words, r_off, ((jnp.abs(af) >> n) & 1) == 1, rp
             )
-            off = jnp.minimum(off + jnp.where(active, r_cnt, 0), sat)
+            off = jnp.minimum(off + r_cnt, sat)
 
             return dict(
-                a_S=a_S, b_S=b_S, lip_S=lip_S, lsp_phase=lsp_phase,
-                lsp_S=lsp_S, off=off.astype(_I32), words=words,
+                i=i + 1, a_S=a_S, b_S=b_S, lip_S=lip_S,
+                lsp_phase=lsp_phase, lsp_S=lsp_S, off=off.astype(_I32),
+                words=words,
             )
 
-        out = lax.fori_loop(0, _PLANES, body, carry0)
+        # planes run max_n..0 and stop early once the bit budget is
+        # exhausted (low-bpp encodes touch only the top few planes)
+        out = lax.while_loop(
+            lambda c: (c["i"] <= max_n) & (c["off"] < max_bits),
+            body,
+            carry0,
+        )
         total = jnp.minimum(out["off"], max_bits).astype(_I32)
         # in-budget bits beyond the buffer were dropped by emit's
         # `pos < cap_bits` guard -> the stream is invalid; flag it
