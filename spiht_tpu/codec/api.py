@@ -79,6 +79,13 @@ def decode(
     data: bytes, n: int, c: int, h: int, w: int, ll_h: int, ll_w: int
 ) -> np.ndarray:
     """Decode bytes -> (C,H,W) int32 coefficient array (prefix-tolerant)."""
+    if os.environ.get("SPIHT_TPU_DEVICE_DECODER") == "1":
+        # the whole decode as one jitted XLA program (sequential
+        # bit-machine; see codec/device_decoder.py) — bit-identical to
+        # the native kernel, works for any ll geometry
+        from .device_decoder import decode_device
+
+        return decode_device(data, n, c, h, w, ll_h, ll_w)
     nat = _native()
     if nat is not None:
         return nat.decode(data, n, c, h, w, ll_h, ll_w)
@@ -98,6 +105,17 @@ def decode_with_metadata(
     other_slices,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Decode bytes and emit the per-bit decoder-state trace array."""
+    if os.environ.get("SPIHT_TPU_DEVICE_DECODER") == "1":
+        from .device_decoder import decode_device_with_metadata
+
+        return decode_device_with_metadata(
+            data, n, c, h, w, ll_h, ll_w,
+            tuple(tuple(t) for t in top_slice),
+            tuple(
+                tuple(tuple(tuple(p) for p in f) for f in lvl)
+                for lvl in other_slices
+            ),
+        )
     nat = _native()
     if nat is not None:
         return nat.decode_with_metadata(
