@@ -34,12 +34,18 @@ __all__ = ["encode_image_sharded"]
 
 
 @lru_cache(maxsize=None)
-def _sharded_forward_jit(key, level: int, mesh_key, axis_name: str, dtype_name: str):
+def _sharded_forward_jit(
+    key, level: int, mesh_key, axis_name: str, dtype_name: str,
+    true_w: int = 0,
+):
     wavelet, qscale, mode, color_model, pcs = key
     mesh = _MESHES[mesh_key]
     dtype = jnp.dtype(dtype_name)
 
     def f(image):
+        if true_w and image.shape[-1] != true_w:
+            # input was padded on host so device_put could shard W evenly
+            image = image[..., :true_w]
         image = image.astype(dtype)
         if color_model is not None:
             image = jax_models.convert(image, "RGB", color_model)
@@ -77,8 +83,11 @@ def encode_image_sharded(
 ) -> EncodingResult:
     """Encode one (C, H, W) image with its W axis sharded over the mesh.
 
-    Requires W divisible by the '{axis_name}' mesh axis size with shard
-    width >= the wavelet filter length (see parallel/spatial.py).
+    Any width: the recursive sharded DWT pads to equal blocks internally
+    and shards every level whose geometry permits (parallel/spatial.py).
+    The (C, H, W) input itself must still be placeable with W over the
+    mesh axis, so the initial device_put pads W to the axis size if
+    needed (handled here).
     """
     image = np.asarray(image)
     if image.ndim != 3:
@@ -97,7 +106,11 @@ def encode_image_sharded(
         _mesh_key(mesh),
         axis_name,
         str(np.dtype(jax_transform.default_dtype()).name),
+        true_w=w,
     )
+    n_ax = mesh.shape[axis_name]
+    if w % n_ax:
+        image = np.pad(image, [(0, 0), (0, 0), (0, n_ax - w % n_ax)])
     in_sharding = NamedSharding(mesh, P(None, None, axis_name))
     xs = jax.device_put(jnp.asarray(image), in_sharding)
     arr32, arr16, overflow = fn(xs)

@@ -130,3 +130,102 @@ def test_batch_sharded_analysis(rng):
     out = fn(sharded)
     for r, o in zip(ref, out):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
+# ---------------------------------------------------------------------------
+# round 2: recursive sharded DWT, arbitrary widths (verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_sharded_8k_all_levels(rng):
+    """8-shard 8K-wide image, no manual padding, every level sharded;
+    identical to the single-device jitted transform."""
+    from functools import partial
+
+    from spiht_tpu.parallel.spatial import _level_shardable
+    from spiht_tpu.wavelets.filters import build_wavelet, dwt_coeff_len
+
+    mesh = _mesh(1, 8)
+    level = 5
+    x = rng.standard_normal((1, 16, 7900))  # 7900 % 8 != 0
+    # verify statically that every level shards
+    Wl, F = 7900, build_wavelet("bior2.2").dec_len
+    for _ in range(level):
+        assert _level_shardable(Wl, 8, F, "reflect"), Wl
+        Wl = dwt_coeff_len(Wl, F, "reflect")
+    f = jax.jit(
+        partial(
+            sharded_wavedec2_packed,
+            wavelet="bior2.2", mode="reflect", level=level, mesh=mesh,
+        )
+    )
+    g = jax.jit(
+        partial(dwt.wavedec2_packed, wavelet="bior2.2", mode="reflect",
+                level=level)
+    )
+    got, lh, lw = f(jnp.asarray(x))
+    ref, lh2, lw2 = g(jnp.asarray(x))
+    assert (lh, lw) == (lh2, lw2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_recursive_sharded_long_filter_odd_width(rng):
+    """18-tap bior6.8, symmetric mode, width 3001: reshard drift + tail
+    fixups exercised; deep unshardable levels fall back transparently."""
+    from functools import partial
+
+    mesh = _mesh(1, 8)
+    x = rng.standard_normal((2, 12, 3001))
+    f = jax.jit(
+        partial(
+            sharded_wavedec2_packed,
+            wavelet="bior6.8", mode="symmetric", level=4, mesh=mesh,
+        )
+    )
+    g = jax.jit(
+        partial(dwt.wavedec2_packed, wavelet="bior6.8", mode="symmetric",
+                level=4)
+    )
+    got, lh, lw = f(jnp.asarray(x))
+    ref, lh2, lw2 = g(jnp.asarray(x))
+    assert (lh, lw) == (lh2, lw2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_plane_stats_psum(rng):
+    """Per-shard tallies + psum == unsharded global stats, no gather."""
+    from spiht_tpu.parallel.spatial import sharded_plane_stats
+
+    mesh = _mesh(1, 8)
+    arr = (rng.standard_normal((3, 40, 64)) * 5000).astype(np.int32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xs = jax.device_put(
+        jnp.asarray(arr), NamedSharding(mesh, P(None, None, "tile"))
+    )
+    gmax, counts = sharded_plane_stats(xs, mesh)
+    mag = np.abs(arr)
+    assert int(gmax) == mag.max()
+    want = [(mag >= (1 << p)).sum() for p in range(32)]
+    np.testing.assert_array_equal(np.asarray(counts), want)
+
+
+def test_encode_image_sharded_odd_width(rng):
+    """Sharded encode of a width-not-divisible image == single-device
+    encode, byte for byte (round-2 constraint lifting)."""
+    import spiht_tpu
+    from spiht_tpu import SpihtSettings, transform
+    from spiht_tpu.parallel.codec import encode_image_sharded
+
+    mesh = _mesh(1, 8)
+    im = rng.random((1, 24, 301))
+    settings = SpihtSettings()
+    er_sh = encode_image_sharded(im, settings, mesh, level=2, max_bits=4000)
+    old = transform._BACKEND
+    transform._BACKEND = "jax"
+    try:
+        er = spiht_tpu.encode_image(im, settings, level=2, max_bits=4000)
+    finally:
+        transform._BACKEND = old
+    assert er_sh.encoded_bytes == er.encoded_bytes
+    assert er_sh.max_n == er.max_n
