@@ -79,6 +79,48 @@ def _rgb_from_lab(im):
     return _apply_mat(xyz * white[..., :, None, None], _nm.XYZ_TO_RGB)
 
 
+# round-2 models share the array-module-generic channels-last core in
+# models.py (xp=jnp); only the axis shuffle differs from the host path
+def _via_cl(fn_chain):
+    def run(im):
+        x = jnp.moveaxis(im, -3, -1)
+        for fn in fn_chain:
+            x = fn(x, xp=jnp)
+        return jnp.moveaxis(x, -1, -3)
+
+    return run
+
+
+def _xyz_fwd(x, xp=jnp):
+    return x @ xp.asarray(_nm.RGB_TO_XYZ.T, dtype=x.dtype)
+
+
+def _xyz_inv(x, xp=jnp):
+    return x @ xp.asarray(_nm.XYZ_TO_RGB.T, dtype=x.dtype)
+
+
+def _lab_fwd_cl(x, xp=jnp):
+    white = xp.asarray(_nm.D65_WHITE, dtype=x.dtype)
+    xr = x / white
+    d = 6.0 / 29.0
+    f = xp.where(xr > d**3, xp.cbrt(xr), xr / (3 * d * d) + 4.0 / 29.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    return xp.stack(
+        [116 * fy - 16, 500 * (fx - fy), 200 * (fy - fz)], axis=-1
+    )
+
+
+def _lab_inv_cl(x, xp=jnp):
+    L, a, b = x[..., 0], x[..., 1], x[..., 2]
+    fy = (L + 16) / 116
+    fx = fy + a / 500
+    fz = fy - b / 200
+    d = 6.0 / 29.0
+    inv = lambda t: xp.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+    white = xp.asarray(_nm.D65_WHITE, dtype=x.dtype)
+    return xp.stack([inv(fx), inv(fy), inv(fz)], axis=-1) * white
+
+
 _FORWARD = {
     "ipt": _ipt_from_rgb,
     "cie xyz": lambda x: _apply_mat(x, _nm.RGB_TO_XYZ),
@@ -91,6 +133,13 @@ _FORWARD = {
         _nm.LMS_TO_OKLAB,
     ),
     "rgb": lambda x: x,
+    "jzazbz": _via_cl([_xyz_fwd, _nm.jzazbz_from_xyz]),
+    "ictcp": _via_cl([_xyz_fwd, _nm.ictcp_from_xyz]),
+    "cie xyy": _via_cl([_xyz_fwd, _nm.xyy_from_xyz]),
+    "cie luv": _via_cl([_xyz_fwd, _nm.luv_from_xyz]),
+    "din99": _via_cl([_xyz_fwd, _lab_fwd_cl, _nm.din99_from_lab]),
+    "hunter lab": _via_cl([_xyz_fwd, _nm.hunter_lab_from_xyz]),
+    "cam16ucs": _via_cl([_xyz_fwd, _nm.cam16ucs_from_xyz]),
 }
 _INVERSE = {
     "ipt": _rgb_from_ipt,
@@ -103,6 +152,13 @@ _INVERSE = {
         _apply_mat(x, _nm.LMS_FROM_OKLAB) ** 3, _nm.RGB_FROM_LMS_OKLAB
     ),
     "rgb": lambda x: x,
+    "jzazbz": _via_cl([_nm.xyz_from_jzazbz, _xyz_inv]),
+    "ictcp": _via_cl([_nm.xyz_from_ictcp, _xyz_inv]),
+    "cie xyy": _via_cl([_nm.xyz_from_xyy, _xyz_inv]),
+    "cie luv": _via_cl([_nm.xyz_from_luv, _xyz_inv]),
+    "din99": _via_cl([_nm.lab_from_din99, _lab_inv_cl, _xyz_inv]),
+    "hunter lab": _via_cl([_nm.xyz_from_hunter_lab, _xyz_inv]),
+    "cam16ucs": _via_cl([_nm.xyz_from_cam16ucs, _xyz_inv]),
 }
 
 

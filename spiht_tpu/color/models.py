@@ -157,6 +157,382 @@ def xyz_from_lab(im_cl):
     ) * D65_WHITE
 
 
+
+
+# ---------------------------------------------------------------------------
+# round 2: additional colourspace models (verdict item 8). The reference
+# accepts anything in colour.COLOURSPACE_MODELS (color_models.py:4-13);
+# these cover the commonly used remainder. Implementations are array-
+# module generic (xp = numpy or jax.numpy) so the host and device paths
+# share one definition.
+# ---------------------------------------------------------------------------
+
+_D65_XY = (0.3127, 0.3290)
+
+
+def _primaries_to_xyz(prim, white_xy):
+    """RGB->XYZ matrix from chromaticity primaries (standard derivation)."""
+    def xyz(x, y):
+        return np.array([x / y, 1.0, (1 - x - y) / y])
+
+    P = np.stack([xyz(*p) for p in prim], axis=1)
+    w = xyz(*white_xy)
+    scale = np.linalg.solve(P, w)
+    return P * scale
+
+
+# ITU-R BT.2020 primaries (for the BT.2100 ICtCp pipeline)
+BT2020_TO_XYZ = _primaries_to_xyz(
+    [(0.708, 0.292), (0.170, 0.797), (0.131, 0.046)], _D65_XY
+)
+XYZ_TO_BT2020 = np.linalg.inv(BT2020_TO_XYZ)
+
+# SMPTE ST 2084 (PQ) constants, shared by Jzazbz (with its modified
+# exponent) and ICtCp
+_PQ_C1 = 3424.0 / 4096.0
+_PQ_C2 = 2413.0 / 128.0
+_PQ_C3 = 2392.0 / 128.0
+_PQ_N = 2610.0 / 16384.0
+_PQ_P_ICTCP = 2523.0 / 32.0
+_PQ_P_JZ = 1.7 * 2523.0 / 32.0
+
+# Jzazbz (Safdar, Cui, Kim & Luo 2017)
+_JZ_B = 1.15
+_JZ_G = 0.66
+_JZ_D = -0.56
+_JZ_D0 = 1.6295499532821566e-11
+XYZ_TO_LMS_JZ = np.array(
+    [
+        [0.41478972, 0.579999, 0.0146480],
+        [-0.2015100, 1.120649, 0.0531008],
+        [-0.0166008, 0.264800, 0.6684799],
+    ]
+)
+LMS_TO_IAB_JZ = np.array(
+    [
+        [0.5, 0.5, 0.0],
+        [3.524000, -4.066708, 0.542708],
+        [0.199076, 1.096799, -1.295875],
+    ]
+)
+LMS_FROM_IAB_JZ = np.linalg.inv(LMS_TO_IAB_JZ)
+XYZ_FROM_LMS_JZ = np.linalg.inv(XYZ_TO_LMS_JZ)
+
+# BT.2100 ICtCp
+RGB2020_TO_LMS = np.array(
+    [[1688.0, 2146.0, 262.0], [683.0, 2951.0, 462.0], [99.0, 309.0, 3688.0]]
+) / 4096.0
+LMS_TO_ICTCP = np.array(
+    [
+        [2048.0, 2048.0, 0.0],
+        [6610.0, -13613.0, 7003.0],
+        [17933.0, -17390.0, -543.0],
+    ]
+) / 4096.0
+LMS_FROM_ICTCP = np.linalg.inv(LMS_TO_ICTCP)
+LMS_TO_RGB2020 = np.linalg.inv(RGB2020_TO_LMS)
+
+# Hunter Lab (D65, standard illuminant-dependent coefficients)
+_HUNTER_KA = 175.0 / 198.04 * (D65_WHITE[0] + D65_WHITE[1]) * 100.0
+_HUNTER_KB = 70.0 / 218.11 * (D65_WHITE[1] + D65_WHITE[2]) * 100.0
+
+_DIN99_COS16 = np.cos(np.deg2rad(16.0))
+_DIN99_SIN16 = np.sin(np.deg2rad(16.0))
+
+
+def _pq_fwd(x, p, xp):
+    y = xp.sign(x) * xp.abs(x) ** _PQ_N
+    return xp.sign(x) * (
+        (_PQ_C1 + _PQ_C2 * xp.abs(y)) / (1.0 + _PQ_C3 * xp.abs(y))
+    ) ** p
+
+
+def _pq_inv(x, p, xp):
+    y = xp.sign(x) * xp.abs(x) ** (1.0 / p)
+    num = _PQ_C1 - xp.abs(y)
+    den = _PQ_C3 * xp.abs(y) - _PQ_C2
+    return xp.sign(x) * xp.abs(num / den) ** (1.0 / _PQ_N)
+
+
+def jzazbz_from_xyz(im_cl, xp=np):
+    X, Y, Z = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    Xp = _JZ_B * X - (_JZ_B - 1.0) * Z
+    Yp = _JZ_G * Y - (_JZ_G - 1.0) * X
+    xyz_p = xp.stack([Xp, Yp, Z], axis=-1)
+    lms = xyz_p @ xp.asarray(XYZ_TO_LMS_JZ.T, dtype=im_cl.dtype)
+    lms_p = _pq_fwd(lms, _PQ_P_JZ, xp)
+    iab = lms_p @ xp.asarray(LMS_TO_IAB_JZ.T, dtype=im_cl.dtype)
+    Iz = iab[..., 0]
+    Jz = (1.0 + _JZ_D) * Iz / (1.0 + _JZ_D * Iz) - _JZ_D0
+    return xp.stack([Jz, iab[..., 1], iab[..., 2]], axis=-1)
+
+
+def xyz_from_jzazbz(im_cl, xp=np):
+    Jz, az, bz = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    Jd = Jz + _JZ_D0
+    Iz = Jd / (1.0 + _JZ_D - _JZ_D * Jd)
+    iab = xp.stack([Iz, az, bz], axis=-1)
+    lms_p = iab @ xp.asarray(LMS_FROM_IAB_JZ.T, dtype=im_cl.dtype)
+    lms = _pq_inv(lms_p, _PQ_P_JZ, xp)
+    xyz_p = lms @ xp.asarray(XYZ_FROM_LMS_JZ.T, dtype=im_cl.dtype)
+    Xp, Yp, Z = xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2]
+    X = (Xp + (_JZ_B - 1.0) * Z) / _JZ_B
+    Y = (Yp + (_JZ_G - 1.0) * X) / _JZ_G
+    return xp.stack([X, Y, Z], axis=-1)
+
+
+def ictcp_from_xyz(im_cl, xp=np):
+    rgb2020 = im_cl @ xp.asarray(XYZ_TO_BT2020.T, dtype=im_cl.dtype)
+    lms = rgb2020 @ xp.asarray(RGB2020_TO_LMS.T, dtype=im_cl.dtype)
+    lms_p = _pq_fwd(lms, _PQ_P_ICTCP, xp)
+    return lms_p @ xp.asarray(LMS_TO_ICTCP.T, dtype=im_cl.dtype)
+
+
+def xyz_from_ictcp(im_cl, xp=np):
+    lms_p = im_cl @ xp.asarray(LMS_FROM_ICTCP.T, dtype=im_cl.dtype)
+    lms = _pq_inv(lms_p, _PQ_P_ICTCP, xp)
+    rgb2020 = lms @ xp.asarray(LMS_TO_RGB2020.T, dtype=im_cl.dtype)
+    return rgb2020 @ xp.asarray(BT2020_TO_XYZ.T, dtype=im_cl.dtype)
+
+
+def xyy_from_xyz(im_cl, xp=np):
+    X, Y, Z = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    s = X + Y + Z
+    safe = xp.where(s == 0, 1.0, s)
+    x = xp.where(s == 0, _D65_XY[0], X / safe)
+    y = xp.where(s == 0, _D65_XY[1], Y / safe)
+    return xp.stack([x, y, Y], axis=-1)
+
+
+def xyz_from_xyy(im_cl, xp=np):
+    x, y, Y = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    safe = xp.where(y == 0, 1.0, y)
+    X = xp.where(y == 0, 0.0, x * Y / safe)
+    Z = xp.where(y == 0, 0.0, (1.0 - x - y) * Y / safe)
+    return xp.stack([X, Y, Z], axis=-1)
+
+
+def _uv_prime(X, Y, Z, xp):
+    d = X + 15.0 * Y + 3.0 * Z
+    safe = xp.where(d == 0, 1.0, d)
+    return (
+        xp.where(d == 0, 0.0, 4.0 * X / safe),
+        xp.where(d == 0, 0.0, 9.0 * Y / safe),
+    )
+
+
+_UN_PRIME, _VN_PRIME = (
+    4.0 * D65_WHITE[0] / (D65_WHITE[0] + 15.0 * D65_WHITE[1] + 3.0 * D65_WHITE[2]),
+    9.0 * D65_WHITE[1] / (D65_WHITE[0] + 15.0 * D65_WHITE[1] + 3.0 * D65_WHITE[2]),
+)
+
+
+def luv_from_xyz(im_cl, xp=np):
+    X, Y, Z = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    yr = Y / D65_WHITE[1]
+    e = (6.0 / 29.0) ** 3
+    L = xp.where(yr > e, 116.0 * xp.cbrt(yr) - 16.0, (29.0 / 3.0) ** 3 * yr)
+    up, vp = _uv_prime(X, Y, Z, xp)
+    return xp.stack(
+        [L, 13.0 * L * (up - _UN_PRIME), 13.0 * L * (vp - _VN_PRIME)], axis=-1
+    )
+
+
+def xyz_from_luv(im_cl, xp=np):
+    L, u, v = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    safeL = xp.where(L == 0, 1.0, L)
+    up = xp.where(L == 0, _UN_PRIME, u / (13.0 * safeL) + _UN_PRIME)
+    vp = xp.where(L == 0, _VN_PRIME, v / (13.0 * safeL) + _VN_PRIME)
+    Y = xp.where(
+        L > 8.0,
+        D65_WHITE[1] * ((L + 16.0) / 116.0) ** 3,
+        D65_WHITE[1] * L * (3.0 / 29.0) ** 3,
+    )
+    safev = xp.where(vp == 0, 1.0, vp)
+    X = xp.where(vp == 0, 0.0, Y * 9.0 * up / (4.0 * safev))
+    Z = xp.where(vp == 0, 0.0, Y * (12.0 - 3.0 * up - 20.0 * vp) / (4.0 * safev))
+    return xp.stack([X, Y, Z], axis=-1)
+
+
+def din99_from_lab(im_cl, xp=np):
+    L, a, b = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    L99 = 105.509 * xp.log1p(0.0158 * L)
+    e = a * _DIN99_COS16 + b * _DIN99_SIN16
+    f = 0.7 * (b * _DIN99_COS16 - a * _DIN99_SIN16)
+    G = xp.sqrt(e * e + f * f)
+    k = xp.where(G == 0, 0.0, xp.log1p(0.045 * G) / (0.045 * xp.where(G == 0, 1.0, G)))
+    return xp.stack([L99, k * e, k * f], axis=-1)
+
+
+def lab_from_din99(im_cl, xp=np):
+    L99, a99, b99 = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    L = (xp.exp(L99 / 105.509) - 1.0) / 0.0158
+    C99 = xp.sqrt(a99 * a99 + b99 * b99)
+    G = (xp.exp(0.045 * C99) - 1.0) / 0.045
+    scale = xp.where(C99 == 0, 0.0, G / xp.where(C99 == 0, 1.0, C99))
+    e = a99 * scale
+    f = b99 * scale
+    a = e * _DIN99_COS16 - (f / 0.7) * _DIN99_SIN16
+    b = e * _DIN99_SIN16 + (f / 0.7) * _DIN99_COS16
+    return xp.stack([L, a, b], axis=-1)
+
+
+def hunter_lab_from_xyz(im_cl, xp=np):
+    X, Y, Z = (
+        im_cl[..., 0] * 100.0,
+        im_cl[..., 1] * 100.0,
+        im_cl[..., 2] * 100.0,
+    )
+    Xn, Yn, Zn = D65_WHITE * 100.0
+    yr = Y / Yn
+    sq = xp.sqrt(xp.maximum(yr, 0.0))
+    safe = xp.where(sq == 0, 1.0, sq)
+    L = 100.0 * sq
+    a = xp.where(sq == 0, 0.0, _HUNTER_KA * (X / Xn - yr) / safe)
+    b = xp.where(sq == 0, 0.0, _HUNTER_KB * (yr - Z / Zn) / safe)
+    return xp.stack([L, a, b], axis=-1)
+
+
+def xyz_from_hunter_lab(im_cl, xp=np):
+    L, a, b = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    Xn, Yn, Zn = D65_WHITE * 100.0
+    sq = L / 100.0
+    yr = sq * sq
+    X = Xn * (a * sq / _HUNTER_KA + yr)
+    Z = Zn * (yr - b * sq / _HUNTER_KB)
+    return xp.stack([X / 100.0, yr * Yn / 100.0, Z / 100.0], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# CAM16-UCS (Li et al. 2017; UCS form of CAM16). Viewing conditions match
+# the conventional defaults for colourspace-model conversions: D65 white,
+# average surround (F=1, c=0.69, Nc=1), L_A = 64/(5*pi), Y_b = 20.
+# ---------------------------------------------------------------------------
+
+M16 = np.array(
+    [
+        [0.401288, 0.650173, -0.051461],
+        [-0.250268, 1.204414, 0.045854],
+        [-0.002079, 0.048952, 0.953127],
+    ]
+)
+M16_INV = np.linalg.inv(M16)
+
+_CAM16_F, _CAM16_C, _CAM16_NC = 1.0, 0.69, 1.0
+_CAM16_LA = 64.0 / np.pi / 5.0
+_CAM16_YB = 20.0
+_CAM16_XYZ_W = D65_WHITE * 100.0
+
+_cam_rgb_w = M16 @ _CAM16_XYZ_W
+_CAM16_D = float(
+    np.clip(
+        _CAM16_F * (1.0 - (1.0 / 3.6) * np.exp((-_CAM16_LA - 42.0) / 92.0)),
+        0.0,
+        1.0,
+    )
+)
+_CAM16_D_RGB = _CAM16_D * _CAM16_XYZ_W[1] / _cam_rgb_w + 1.0 - _CAM16_D
+_cam_k = 1.0 / (5.0 * _CAM16_LA + 1.0)
+_CAM16_FL = 0.2 * _cam_k**4 * 5.0 * _CAM16_LA + 0.1 * (
+    1.0 - _cam_k**4
+) ** 2 * (5.0 * _CAM16_LA) ** (1.0 / 3.0)
+_CAM16_N = _CAM16_YB / _CAM16_XYZ_W[1]
+_CAM16_Z = 1.48 + np.sqrt(_CAM16_N)
+_CAM16_NBB = 0.725 * _CAM16_N ** (-0.2)
+_CAM16_NCB = _CAM16_NBB
+_cam_rgb_wc = _CAM16_D_RGB * _cam_rgb_w
+_cam_t_w = (_CAM16_FL * _cam_rgb_wc / 100.0) ** 0.42
+_cam_rgb_aw = 400.0 * _cam_t_w / (_cam_t_w + 27.13) + 0.1
+_CAM16_AW = (
+    2.0 * _cam_rgb_aw[0] + _cam_rgb_aw[1] + _cam_rgb_aw[2] / 20.0 - 0.305
+) * _CAM16_NBB
+
+
+def _cam16_adapt(rgb_c, xp):
+    t = (_CAM16_FL * xp.abs(rgb_c) / 100.0) ** 0.42
+    return xp.sign(rgb_c) * 400.0 * t / (t + 27.13) + 0.1
+
+
+def _cam16_adapt_inv(rgb_a, xp):
+    v = rgb_a - 0.1
+    av = xp.abs(v)
+    av = xp.minimum(av, 399.99)
+    return (
+        xp.sign(v)
+        * (100.0 / _CAM16_FL)
+        * ((27.13 * av) / (400.0 - av)) ** (1.0 / 0.42)
+    )
+
+
+def cam16ucs_from_xyz(im_cl, xp=np):
+    rgb = (im_cl * 100.0) @ xp.asarray(M16.T, dtype=im_cl.dtype)
+    rgb_c = rgb * xp.asarray(_CAM16_D_RGB, dtype=im_cl.dtype)
+    ra = _cam16_adapt(rgb_c, xp)
+    R, G, B = ra[..., 0], ra[..., 1], ra[..., 2]
+    a = R - 12.0 * G / 11.0 + B / 11.0
+    b = (R + G - 2.0 * B) / 9.0
+    h = xp.arctan2(b, a)
+    et = (xp.cos(h + 2.0) + 3.8) / 4.0
+    A = (2.0 * R + G + B / 20.0 - 0.305) * _CAM16_NBB
+    J = 100.0 * xp.abs(A / _CAM16_AW) ** (_CAM16_C * _CAM16_Z)
+    denom = R + G + 21.0 * B / 20.0 + 0.305
+    t = (
+        (50000.0 / 13.0)
+        * _CAM16_NC
+        * _CAM16_NCB
+        * et
+        * xp.sqrt(a * a + b * b)
+        / denom
+    )
+    C = (
+        xp.abs(t) ** 0.9
+        * xp.sqrt(J / 100.0)
+        * (1.64 - 0.29**_CAM16_N) ** 0.73
+    )
+    M = C * _CAM16_FL**0.25
+    Jp = 1.7 * J / (1.0 + 0.007 * J)
+    Mp = xp.log1p(0.0228 * M) / 0.0228
+    return xp.stack([Jp, Mp * xp.cos(h), Mp * xp.sin(h)], axis=-1)
+
+
+def xyz_from_cam16ucs(im_cl, xp=np):
+    Jp, ap, bp = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    J = Jp / (1.7 - 0.007 * Jp)
+    Mp = xp.sqrt(ap * ap + bp * bp)
+    M = (xp.exp(0.0228 * Mp) - 1.0) / 0.0228
+    h = xp.arctan2(bp, ap)
+    C = M / _CAM16_FL**0.25
+    Jsafe = xp.maximum(J, 1e-10)
+    t = (
+        C / (xp.sqrt(Jsafe / 100.0) * (1.64 - 0.29**_CAM16_N) ** 0.73)
+    ) ** (1.0 / 0.9)
+    et = (xp.cos(h + 2.0) + 3.8) / 4.0
+    A = _CAM16_AW * (Jsafe / 100.0) ** (1.0 / (_CAM16_C * _CAM16_Z))
+    # a, b from (t, h, A) in closed form: with the opponent system
+    # [2R+G+B/20; a; b] = M (R,G,B), the t-denominator satisfies
+    # R+G+21B/20 = p2 + beta*a + gamma*b for (beta, gamma) =
+    # [1,1,21/20] M^-1 restricted to the (a, b) columns = (-11/23,
+    # -108/23); solving t*(denominator+0.305) = p1t*s for the chroma
+    # radius s is then a single division (no sin/cos case split)
+    p1t = (50000.0 / 13.0) * _CAM16_NC * _CAM16_NCB * et
+    p2 = A / _CAM16_NBB + 0.305
+    beta, gamma = -11.0 / 23.0, -108.0 / 23.0
+    sh, ch = xp.sin(h), xp.cos(h)
+    den = p1t - t * (beta * ch + gamma * sh)
+    s_rad = t * (p2 + 0.305) / xp.where(
+        xp.abs(den) < 1e-12, 1e-12, den
+    )
+    a = s_rad * ch
+    b = s_rad * sh
+    Ra = (460.0 * p2 + 451.0 * a + 288.0 * b) / 1403.0
+    Ga = (460.0 * p2 - 891.0 * a - 261.0 * b) / 1403.0
+    Ba = (460.0 * p2 - 220.0 * a - 6300.0 * b) / 1403.0
+    ra = xp.stack([Ra, Ga, Ba], axis=-1)
+    rgb_c = _cam16_adapt_inv(ra, xp)
+    rgb = rgb_c / xp.asarray(_CAM16_D_RGB, dtype=im_cl.dtype)
+    return (rgb @ xp.asarray(M16_INV.T, dtype=im_cl.dtype)) / 100.0
+
+
 _FORWARD = {
     "ipt": ipt_from_rgb,
     "cie xyz": xyz_from_rgb,
@@ -166,6 +542,13 @@ _FORWARD = {
     "ycbcr": lambda x: _apply_mat(x, RGB_TO_YCBCR),
     "oklab": oklab_from_rgb,
     "rgb": lambda x: x,
+    "jzazbz": lambda x: jzazbz_from_xyz(xyz_from_rgb(x)),
+    "ictcp": lambda x: ictcp_from_xyz(xyz_from_rgb(x)),
+    "cie xyy": lambda x: xyy_from_xyz(xyz_from_rgb(x)),
+    "cie luv": lambda x: luv_from_xyz(xyz_from_rgb(x)),
+    "din99": lambda x: din99_from_lab(lab_from_xyz(xyz_from_rgb(x))),
+    "hunter lab": lambda x: hunter_lab_from_xyz(xyz_from_rgb(x)),
+    "cam16ucs": lambda x: cam16ucs_from_xyz(xyz_from_rgb(x)),
 }
 _INVERSE = {
     "ipt": rgb_from_ipt,
@@ -176,6 +559,13 @@ _INVERSE = {
     "ycbcr": lambda x: _apply_mat(x, YCBCR_TO_RGB),
     "oklab": rgb_from_oklab,
     "rgb": lambda x: x,
+    "jzazbz": lambda x: rgb_from_xyz(xyz_from_jzazbz(x)),
+    "ictcp": lambda x: rgb_from_xyz(xyz_from_ictcp(x)),
+    "cie xyy": lambda x: rgb_from_xyz(xyz_from_xyy(x)),
+    "cie luv": lambda x: rgb_from_xyz(xyz_from_luv(x)),
+    "din99": lambda x: rgb_from_xyz(xyz_from_lab(lab_from_din99(x))),
+    "hunter lab": lambda x: rgb_from_xyz(xyz_from_hunter_lab(x)),
+    "cam16ucs": lambda x: rgb_from_xyz(xyz_from_cam16ucs(x)),
 }
 
 SUPPORTED_MODELS = set(_FORWARD)

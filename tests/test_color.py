@@ -34,3 +34,69 @@ def test_ipt_channel_energy(rng):
 def test_unsupported_raises():
     with pytest.raises(ValueError):
         cm.convert(np.ones((3, 2, 2)), "RGB", "hsv-nope")
+
+
+# ---------------------------------------------------------------------------
+# round 2: extended model coverage (reference accepts any
+# colour.COLOURSPACE_MODELS entry, color_models.py:4-13)
+# ---------------------------------------------------------------------------
+
+NEW_MODELS = ["jzazbz", "ictcp", "cie xyy", "cie luv", "din99",
+              "hunter lab", "cam16ucs"]
+
+
+@pytest.mark.parametrize("model", NEW_MODELS + ["oklab"])
+def test_roundtrip_new_models(rng, model):
+    im = rng.uniform(0.01, 1.0, size=(3, 16, 24))
+    out = cm.convert(im, "RGB", model)
+    back = cm.convert(out, model, "RGB")
+    assert np.allclose(back, im, atol=1e-6), model
+
+
+@pytest.mark.parametrize("model", NEW_MODELS)
+def test_jax_matches_numpy_new_models(rng, model):
+    from spiht_tpu.color import jax_models as jm
+    import jax.numpy as jnp
+
+    im = rng.uniform(0.01, 1.0, size=(3, 12, 20))
+    want = cm.convert(im, "RGB", model)
+    got = np.asarray(jm.convert(jnp.asarray(im), "RGB", model))
+    np.testing.assert_allclose(got, want, atol=1e-10, err_msg=model)
+    back = np.asarray(jm.convert(jnp.asarray(want), model, "RGB"))
+    np.testing.assert_allclose(back, im, atol=1e-6, err_msg=model)
+
+
+def test_jzazbz_achromatic_axis():
+    """Neutral grays map to az=bz=0 and monotonically increasing Jz."""
+    grays = np.linspace(0.05, 1.0, 8)
+    im = np.ones((3, 1, 8)) * grays[None, None, :]
+    out = cm.convert(im, "RGB", "jzazbz")
+    # the published Jzazbz matrices are only approximately white-balanced
+    # (D65 gray leaves ~2e-4 residual chroma; colour-science agrees)
+    assert np.all(np.abs(out[1]) < 5e-4)
+    assert np.all(np.abs(out[2]) < 5e-4)
+    assert np.all(np.diff(out[0, 0]) > 0)
+
+
+def test_luv_known_white():
+    white = np.ones((3, 1, 1))
+    luv = cm.convert(white, "RGB", "cie luv")
+    assert abs(luv[0, 0, 0] - 100.0) < 1e-6
+    assert abs(luv[1, 0, 0]) < 1e-6
+    assert abs(luv[2, 0, 0]) < 1e-6
+
+
+def test_codec_roundtrip_new_color_model(rng):
+    """Full encode/decode through a round-2 color model."""
+    import spiht_tpu
+    from spiht_tpu import SpihtSettings
+
+    settings = SpihtSettings(
+        color_model="JzAzBz",
+        quantization_scale=1.0,
+        per_channel_quant_scales=[10000.0, 20000.0, 20000.0],
+    )
+    im = rng.random((3, 48, 48))
+    er = spiht_tpu.encode_image(im, settings, level=2)
+    rec = np.asarray(spiht_tpu.decode_image(er, settings))[:, :48, :48]
+    assert np.quantile(np.abs(rec - im), 0.99) < 0.1
