@@ -156,7 +156,7 @@ def _build_decoder(
     ll_h: int,
     ll_w: int,
     level: int,
-    rect_tab: Optional[Tuple],
+    rect_tab,
     cap_words: int,
     meta_rows: int,
 ):
@@ -165,6 +165,16 @@ def _build_decoder(
     Returns fn(words_u32[cap_words], nbits, max_n) ->
     (rec_i32[c*h*w], meta_i32[meta_rows, 8]).
     `meta_rows` 0 disables the trace (plain decode).
+
+    The while-loop body is STRAIGHT-LINE masked code: every queue/array
+    update is a single dynamic-update-slice whose index redirects to a
+    scratch slot when the write is inactive, and the per-plane LIP/LIS
+    double buffers live in one (2, cap) array indexed by a parity
+    scalar (flipped at plane end) instead of being swapped. With no
+    lax.cond/select around carried arrays, XLA keeps every update in
+    place — the round-2 rewrite took a loop iteration from ~120 us
+    (cond-guarded updates copied MB-sized buffers) to the scalar-op
+    floor.
     """
     if c * h * w >= 1 << 24:
         raise ValueError("geometry too large for packed queue entries")
@@ -173,14 +183,13 @@ def _build_decoder(
     HW = h * w
     with_meta = meta_rows > 0
     if rect_tab is not None:
-        rtab = jnp.asarray(np.asarray(rect_tab, np.int32).reshape(
-            level + 1, 4, 4
-        ))
+        rtab = jnp.asarray(
+            np.asarray(rect_tab, np.int32).reshape(level + 1, 4, 4)
+        )
     else:
         rtab = jnp.asarray(_rect_table(level, ll_h, ll_w, None))
     LIP_CAP = N + 1
     LIS_CAP = 2 * N + 1
-    PH_LIP, PH_LIS, PH_REF = 0, 1, 2
 
     lip_init = _pack(
         jnp.asarray(g["lip_init"]), jnp.int32(0), jnp.int32(_F_LL),
@@ -190,30 +199,33 @@ def _build_decoder(
         jnp.asarray(g["lis_init"]), jnp.int32(1), jnp.int32(_F_LL),
         jnp.int32(level),
     )
+    n_lip0 = int(lip_init.shape[0])
+    n_lis0 = int(lis_init.shape[0])
+
+    PH_LIP, PH_LIS, PH_REF = 0, 1, 2
 
     def decode(words, nbits, max_n):
         nbits = jnp.asarray(nbits, _I32)
         max_n = jnp.asarray(max_n, _I32)
 
-        lipA = jnp.zeros(LIP_CAP, _I32).at[: lip_init.shape[0]].set(lip_init)
-        lipB = jnp.zeros(LIP_CAP, _I32)
-        lisA = jnp.zeros(LIS_CAP, _I32).at[: lis_init.shape[0]].set(lis_init)
-        lisB = jnp.zeros(LIS_CAP, _I32)
-        lsp = jnp.zeros(N + 1, _I32)
+        lip2 = jnp.zeros((2, LIP_CAP), _I32).at[0, :n_lip0].set(lip_init)
+        lis2 = jnp.zeros((2, LIS_CAP), _I32).at[0, :n_lis0].set(lis_init)
 
         st = dict(
-            rec=jnp.zeros(N, _I32),
-            meta=jnp.zeros((max(meta_rows, 1), 8), _I32),
-            lipA=lipA, lipB=lipB,
-            lip_cnt=jnp.asarray(lip_init.shape[0], _I32),  # in lipA
-            lip_i=jnp.zeros((), _I32),      # read head in lipA
-            lip_w=jnp.zeros((), _I32),      # write head in lipB (retained)
-            lip_add=jnp.zeros((), _I32),    # adds go after retained; count
-            lisA=lisA, lisB=lisB,
-            lis_cnt=jnp.asarray(lis_init.shape[0], _I32),
+            rec=jnp.zeros(N + 1, _I32),       # slot N = scratch
+            meta=jnp.zeros((max(meta_rows, 1) + 1, 8), _I32),
+            lip2=lip2,
+            lis2=lis2,
+            lsp=jnp.zeros(N + 1, _I32),
+            lipcur=jnp.zeros((), _I32),
+            liscur=jnp.zeros((), _I32),
+            lip_cnt=jnp.asarray(n_lip0, _I32),
+            lip_i=jnp.zeros((), _I32),
+            lip_w=jnp.zeros((), _I32),
+            lip_add=jnp.zeros((), _I32),
+            lis_cnt=jnp.asarray(n_lis0, _I32),
             lis_i=jnp.zeros((), _I32),
             lis_w=jnp.zeros((), _I32),
-            lsp=lsp,
             lsp_cnt=jnp.zeros((), _I32),
             lsp_snap=jnp.zeros((), _I32),
             ref_i=jnp.zeros((), _I32),
@@ -231,275 +243,269 @@ def _build_decoder(
         def unpack(e):
             return e >> 7, (e >> 6) & 1, (e >> 4) & 3, e & 15
 
-        def note(st, action, node, filt, depth):
-            """Write the metadata row for the bit about to be consumed
-            (row index == cur; the reference writes the row even when the
-            stream then runs out, giving the final partial row)."""
-            if not with_meta:
-                return st
-            cur = st["cur"]
-            k = node // HW
-            i = (node % HW) // w
-            j = node % w
-            r = rtab[depth, filt]
-            f2 = jnp.float32
-            lh = (f2(i) - f2(r[0])) / f2(r[1])
-            lw = (f2(j) - f2(r[2])) / f2(r[3])
-            # The reference rounds the f32 product BEFORE subtracting.
-            # XLA's CPU backend contracts mul+sub into an FMA whose
-            # infinitely-precise intermediate flips truncation edges
-            # (e.g. -20000 -> -19999); optimization_barrier and bitcast
-            # round-trips get simplified away, but an intervening
-            # value-preserving `min` op blocks the contraction.
-            big = f2(3e38)
-            th_ = jnp.minimum(lh * f2(200000.0), big)
-            tw_ = jnp.minimum(lw * f2(200000.0), big)
-            lh = (th_ - f2(100000.0)).astype(_I32)
-            lw = (tw_ - f2(100000.0)).astype(_I32)
-            row = jnp.stack(
-                [action, lh, lw, k, filt, depth, st["n"],
-                 st["rec"][node]]
-            ).astype(_I32)
-            # the row for the bit whose pop FAILS is still written (the
-            # reference's final partial row) — but once the machine is
-            # dead, later unrolled note() calls must not overwrite it
-            ok = (cur < meta_rows) & ~st["dead"]
-            idx = jnp.clip(cur, 0, meta_rows - 1)
-            meta = st["meta"].at[idx].set(
-                jnp.where(ok, row, st["meta"][idx])
-            )
-            return {**st, "meta": meta}
-
-        def pop(st):
-            """(value, exhausted). Advances cur when in range."""
-            cur = st["cur"]
-            ok = cur < nbits
-            v = bit_at(jnp.clip(cur, 0, jnp.maximum(nbits - 1, 0))) & ok
-            st = {**st, "cur": jnp.where(ok, cur + 1, cur),
-                  "dead": st["dead"] | ~ok}
-            return st, v, ~ok
-
-        def base_val(st, sign_bit):
-            n = st["n"]
-            mag = jnp.where(n == 0, 1, (1 << jnp.maximum(n - 1, 0)) + (1 << n))
-            return jnp.where(sign_bit, mag, -mag).astype(_I32)
-
-        def lip_entry(st):
-            e = st["lipA"][st["lip_i"]]
-            node, _, filt, depth = unpack(e)
-            st = note(st, _A_LIP, node, filt, depth)
-            st, sig, out = pop(st)
-
-            def fired(st):
-                st = note(st, _A_LIPSIGN, node, filt, depth)
-                st, sbit, out2 = pop(st)
-
-                def commit(st):
-                    rec = st["rec"].at[node].set(base_val(st, sbit))
-                    lsp = st["lsp"].at[st["lsp_cnt"]].set(e)
-                    return {**st, "rec": rec, "lsp": lsp,
-                            "lsp_cnt": st["lsp_cnt"] + 1}
-
-                return lax.cond(out2, lambda s: s, commit, st)
-
-            def retained(st):
-                lipB = st["lipB"].at[st["lip_w"]].set(e)
-                return {**st, "lipB": lipB, "lip_w": st["lip_w"] + 1}
-
-            st = lax.cond(
-                out, lambda s: s,
-                lambda s: lax.cond(sig, fired, retained, s), st,
-            )
-            return {**st, "lip_i": st["lip_i"] + 1}
-
-        def lis_a_entry(st, e, node, filt, depth):
-            st = note(st, _A_DESC, node, filt, depth)
-            st, dsig, out = pop(st)
-
-            def fired(st):
-                cfilt = jnp.where(
-                    filt == _F_LL, g["llcf"][node], filt
-                ).astype(_I32)
-                c0 = g["child0"][node]
-                hc = g["has_child"][node]
-
-                def child(st, cn):
-                    st = note(st, _A_OFF, cn, cfilt, jnp.maximum(depth - 1, 0))
-                    st, sig, out2 = pop(st)
-
-                    def csig(st):
-                        st = note(st, _A_OFFSIGN, cn, cfilt, jnp.maximum(depth - 1, 0))
-                        st, sbit, out3 = pop(st)
-
-                        def commit(st):
-                            rec = st["rec"].at[cn].set(base_val(st, sbit))
-                            ce = _pack(cn, jnp.int32(0), cfilt, jnp.maximum(depth - 1, 0))
-                            lsp = st["lsp"].at[st["lsp_cnt"]].set(ce)
-                            return {**st, "rec": rec, "lsp": lsp,
-                                    "lsp_cnt": st["lsp_cnt"] + 1}
-
-                        return lax.cond(out3, lambda s: s, commit, st)
-
-                    def cinsig(st):
-                        ce = _pack(cn, jnp.int32(0), cfilt, jnp.maximum(depth - 1, 0))
-                        # new LIP entries go after this plane's retained
-                        pos = st["lip_w"] + st["lip_add"]
-                        lipB = st["lipB"].at[pos].set(ce)
-                        return {**st, "lipB": lipB,
-                                "lip_add": st["lip_add"] + 1}
-
-                    return lax.cond(
-                        out2, lambda s: s,
-                        lambda s: lax.cond(sig, csig, cinsig, s), st,
-                    )
-
-                def run_children(st):
-                    st = child(st, c0)
-                    st = child(st, c0 + 1)
-                    st = child(st, c0 + w)
-                    st = child(st, c0 + w + 1)
-                    return st
-
-                st = lax.cond(hc, run_children, lambda s: s, st)
-
-                def reappend(st):
-                    # type-B re-entry at the tail of the live buffer:
-                    # processed in this same pass (reference worklist)
-                    be = _pack(node, jnp.int32(0), filt, depth)
-                    lisA = st["lisA"].at[st["lis_cnt"]].set(be)
-                    return {**st, "lisA": lisA,
-                            "lis_cnt": st["lis_cnt"] + 1}
-
-                return lax.cond(
-                    g["hg"][node] & ~st["dead"], reappend, lambda s: s, st
-                )
-
-            def retained(st):
-                lisB = st["lisB"].at[st["lis_w"]].set(e)
-                return {**st, "lisB": lisB, "lis_w": st["lis_w"] + 1}
-
-            return lax.cond(
-                out, lambda s: s,
-                lambda s: lax.cond(dsig, fired, retained, s), st,
-            )
-
-        def lis_b_entry(st, e, node, filt, depth):
-            st = note(st, _A_LSIG, node, filt, depth)
-            st, lsig, out = pop(st)
-
-            def fired(st):
-                cfilt = jnp.where(
-                    filt == _F_LL, g["llcf"][node], filt
-                ).astype(_I32)
-                c0 = g["child0"][node]
-                hc = g["has_child"][node]
-
-                def app(st):
-                    cnt = st["lis_cnt"]
-                    lisA = st["lisA"]
-                    for dch in (0, 1, w, w + 1):
-                        ce = _pack(
-                            c0 + dch, jnp.int32(1), cfilt,
-                            jnp.maximum(depth - 1, 0),
-                        )
-                        lisA = lisA.at[cnt].set(ce)
-                        cnt = cnt + 1
-                    return {**st, "lisA": lisA, "lis_cnt": cnt}
-
-                return lax.cond(hc, app, lambda s: s, st)
-
-            def retained(st):
-                lisB = st["lisB"].at[st["lis_w"]].set(e)
-                return {**st, "lisB": lisB, "lis_w": st["lis_w"] + 1}
-
-            return lax.cond(
-                out, lambda s: s,
-                lambda s: lax.cond(lsig, fired, retained, s), st,
-            )
-
-        def lis_entry(st):
-            e = st["lisA"][st["lis_i"]]
-            node, typ, filt, depth = unpack(e)
-            st = lax.cond(
-                typ == 1,
-                lambda s: lis_a_entry(s, e, node, filt, depth),
-                lambda s: lis_b_entry(s, e, node, filt, depth),
-                st,
-            )
-            return {**st, "lis_i": st["lis_i"] + 1}
-
-        def ref_entry(st):
-            e = st["lsp"][st["ref_i"]]
-            node, _, filt, depth = unpack(e)
-            st = note(st, _A_REF, node, filt, depth)
-            st, b, out = pop(st)
-
-            def commit(st):
-                x = st["rec"][node]
-                mag = jnp.abs(x)
-                n = st["n"]
-                mag = jnp.where(
-                    b, mag | (1 << n), mag & ~(1 << n)
-                )
-                v = jnp.where(x >= 0, mag, -mag).astype(_I32)
-                return {**st, "rec": st["rec"].at[node].set(v)}
-
-            st = lax.cond(out, lambda s: s, commit, st)
-            return {**st, "ref_i": st["ref_i"] + 1}
-
         def step(st):
-            ph = st["phase"]
+            cur0 = st["cur"]
+            n = st["n"]
+            rec = st["rec"]
+            meta = st["meta"]
+            lip2 = st["lip2"]
+            lis2 = st["lis2"]
+            lsp = st["lsp"]
 
-            def do_lip(st):
-                def adv(st):
-                    return {**st, "phase": jnp.asarray(PH_LIS, _I32)}
+            in_lip = st["phase"] == PH_LIP
+            in_lis = st["phase"] == PH_LIS
+            in_ref = st["phase"] == PH_REF
+            lip_have = in_lip & (st["lip_i"] < st["lip_cnt"])
+            lis_have = in_lis & (st["lis_i"] < st["lis_cnt"])
+            ref_have = in_ref & (st["ref_i"] < st["lsp_snap"])
+            # phase advances (no bits consumed)
+            adv_lip = in_lip & ~lip_have
+            adv_lis = in_lis & ~lis_have
+            plane_end = in_ref & ~ref_have
 
-                return lax.cond(
-                    st["lip_i"] >= st["lip_cnt"], adv, lip_entry, st
+            # ---- fetch the active entry (exactly one of the three) ----
+            e_lip = lip2[st["lipcur"], st["lip_i"]]
+            e_lis = lis2[st["liscur"], st["lis_i"]]
+            e_ref = lsp[st["ref_i"]]
+            e = jnp.where(lip_have, e_lip,
+                          jnp.where(lis_have, e_lis, e_ref))
+            node, typ, filt, depth = unpack(e)
+            node = jnp.clip(node, 0, N - 1)
+            is_a = lis_have & (typ == 1)
+            is_b = lis_have & (typ == 0)
+
+            # ---- static per-node data (scalar gathers) ----
+            hc = g["has_child"][node]
+            hg_n = g["hg"][node]
+            c0 = g["child0"][node]
+            cfilt = jnp.where(filt == _F_LL, g["llcf"][node], filt).astype(
+                _I32
+            )
+            cdep = jnp.maximum(depth - 1, 0)
+            child_nodes = jnp.stack([c0, c0 + 1, c0 + w, c0 + w + 1])
+            child_nodes = jnp.clip(child_nodes, 0, N - 1)
+
+            # =========== sequential pop ladder (masked scalars) =========
+            # Each potential bit consumption has a static slot in the
+            # ladder; `use_k` says whether slot k consumes a bit this
+            # iteration, all computed as scalars. Slot offsets are the
+            # running sum of earlier slots' consumption.
+            # Slots: 0: lip/desc/lsig/ref test bit
+            #        1: lip sign
+            #        2..9: per child: test, sign
+            base_val = jnp.where(
+                n == 0,
+                jnp.ones((), _I32),
+                ((1 << jnp.maximum(n - 1, 0)) + (1 << n)).astype(_I32),
+            )
+
+            use0 = lip_have | lis_have | ref_have
+            off0 = cur0
+            ok0 = use0 & (off0 < nbits)
+            b0 = bit_at(off0) & ok0
+            dead0 = use0 & ~ok0  # wanted a bit, none left
+
+            # lip fired -> sign bit
+            lip_fired = lip_have & b0
+            use1 = lip_fired
+            off1 = off0 + use0.astype(_I32)
+            ok1 = use1 & (off1 < nbits) & ~dead0
+            b1 = bit_at(off1) & ok1
+            dead1 = use1 & ~ok1 & ~dead0
+
+            # A-entry fired with children -> 4x (test, sign)
+            a_fired = is_a & b0 & ~dead0
+            run_children = a_fired & hc
+            consumed = off1 + use1.astype(_I32)
+            ch_test = []
+            ch_sign = []
+            dead_c = dead0 | dead1
+            dead_at_child = []
+            for k in range(4):
+                dead_at_child.append(dead_c)
+                uset = run_children & ~dead_c
+                okt = uset & (consumed < nbits)
+                bt = bit_at(consumed) & okt
+                dt = uset & ~okt
+                consumed = consumed + okt.astype(_I32)
+                uses = bt
+                oks = uses & (consumed < nbits) & ~dt
+                bs = bit_at(consumed) & oks
+                ds = uses & ~oks & ~dt
+                consumed = consumed + oks.astype(_I32)
+                ch_test.append((bt, okt))
+                ch_sign.append((bs, oks))
+                dead_c = dead_c | dt | ds
+            new_dead = st["dead"] | dead_c
+
+            # ================== state writes (masked DUS) ===============
+            SCR_REC = N
+            SCR_LIP = LIP_CAP - 1
+            SCR_LIS = LIS_CAP - 1
+            SCR_LSP = N
+
+            other_lip = 1 - st["lipcur"]
+            other_lis = 1 - st["liscur"]
+
+            # --- rec writes: lip commit, 4 child commits, ref commit ---
+            lip_commit = lip_fired & ok1
+            v_lip = jnp.where(b1, base_val, -base_val)
+            rec = rec.at[jnp.where(lip_commit, node, SCR_REC)].set(v_lip)
+            for k in range(4):
+                bt, okt = ch_test[k]
+                bs, oks = ch_sign[k]
+                commit = bt & oks
+                v = jnp.where(bs, base_val, -base_val)
+                rec = rec.at[
+                    jnp.where(commit, child_nodes[k], SCR_REC)
+                ].set(v)
+            ref_commit = ref_have & ok0
+            x_old = rec[node]
+            mag = jnp.abs(x_old)
+            mag = jnp.where(b0, mag | (1 << n), mag & ~(1 << n))
+            v_ref = jnp.where(x_old >= 0, mag, -mag).astype(_I32)
+            rec = rec.at[jnp.where(ref_commit, node, SCR_REC)].set(v_ref)
+
+            # --- LSP appends: lip fire, then significant children ------
+            lsp_w = st["lsp_cnt"]
+            lsp = lsp.at[jnp.where(lip_commit, lsp_w, SCR_LSP)].set(e)
+            lsp_w = lsp_w + lip_commit.astype(_I32)
+            for k in range(4):
+                bt, okt = ch_test[k]
+                bs, oks = ch_sign[k]
+                commit = bt & oks
+                ce = _pack(child_nodes[k], jnp.int32(0), cfilt, cdep)
+                lsp = lsp.at[jnp.where(commit, lsp_w, SCR_LSP)].set(ce)
+                lsp_w = lsp_w + commit.astype(_I32)
+
+            # --- LIP writes: retained entry + insignificant children ---
+            lip_retain = lip_have & ok0 & ~b0
+            lip2 = lip2.at[
+                other_lip, jnp.where(lip_retain, st["lip_w"], SCR_LIP)
+            ].set(e)
+            lip_w_new = st["lip_w"] + lip_retain.astype(_I32)
+            lip_add = st["lip_add"]
+            for k in range(4):
+                bt, okt = ch_test[k]
+                insig = okt & ~bt
+                ce = _pack(child_nodes[k], jnp.int32(0), cfilt, cdep)
+                pos = lip_w_new + lip_add
+                lip2 = lip2.at[
+                    other_lip, jnp.where(insig, pos, SCR_LIP)
+                ].set(ce)
+                lip_add = lip_add + insig.astype(_I32)
+
+            # --- LIS writes ---
+            # retained A (desc bit 0) or retained B (lsig bit 0)
+            lis_retain = lis_have & ok0 & ~b0
+            lis2 = lis2.at[
+                other_lis, jnp.where(lis_retain, st["lis_w"], SCR_LIS)
+            ].set(e)
+            lis_w_new = st["lis_w"] + lis_retain.astype(_I32)
+            # A fire -> B re-entry at the tail of the LIVE buffer (only
+            # after all children were fully consumed, matching the
+            # reference's order of operations under truncation)
+            lis_w_cur = st["lis_cnt"]
+            reapp = a_fired & hg_n & ~dead_c
+            be = _pack(node, jnp.int32(0), filt, depth)
+            lis2 = lis2.at[
+                st["liscur"], jnp.where(reapp, lis_w_cur, SCR_LIS)
+            ].set(be)
+            lis_w_cur = lis_w_cur + reapp.astype(_I32)
+            # B fire -> 4 A-children at the tail of the live buffer
+            b_fired = is_b & b0 & ok0 & hc
+            for k in range(4):
+                ce = _pack(child_nodes[k], jnp.int32(1), cfilt, cdep)
+                lis2 = lis2.at[
+                    st["liscur"], jnp.where(b_fired, lis_w_cur, SCR_LIS)
+                ].set(ce)
+                lis_w_cur = lis_w_cur + b_fired.astype(_I32)
+
+            # --- metadata rows (one per potential bit, masked) ---------
+            if with_meta:
+                def note(meta, action, nd, ft, dp, row, want):
+                    k_ = nd // HW
+                    i_ = (nd % HW) // w
+                    j_ = nd % w
+                    r = rtab[jnp.clip(dp, 0, level), ft]
+                    f2 = jnp.float32
+                    lh = (f2(i_) - f2(r[0])) / f2(r[1])
+                    lw = (f2(j_) - f2(r[2])) / f2(r[3])
+                    big = f2(3e38)
+                    th_ = jnp.minimum(lh * f2(200000.0), big)
+                    tw_ = jnp.minimum(lw * f2(200000.0), big)
+                    lh = (th_ - f2(100000.0)).astype(_I32)
+                    lw = (tw_ - f2(100000.0)).astype(_I32)
+                    rowv = jnp.stack(
+                        [jnp.asarray(action, _I32), lh, lw, k_, ft, dp,
+                         n, st["rec"][nd]]
+                    ).astype(_I32)
+                    ok = want & (row <= meta_rows - 1)
+                    return meta.at[
+                        jnp.where(ok, row, meta_rows)
+                    ].set(rowv)
+
+                # rows are written for every ATTEMPTED pop (incl. the
+                # one that fails), at its stream offset
+                act0 = jnp.where(
+                    lip_have, _A_LIP,
+                    jnp.where(ref_have, _A_REF,
+                              jnp.where(is_a, _A_DESC, _A_LSIG)),
                 )
+                meta = note(meta, act0, node, filt, depth, off0,
+                            use0 & ~st["dead"])
+                meta = note(meta, _A_LIPSIGN, node, filt, depth, off1,
+                            use1 & ~dead0 & ~st["dead"])
+                coff = off1 + use1.astype(_I32)
+                for k in range(4):
+                    bt, okt = ch_test[k]
+                    bs, oks = ch_sign[k]
+                    want_t = run_children & ~dead_at_child[k] & ~st["dead"]
+                    meta = note(meta, _A_OFF, child_nodes[k], cfilt, cdep,
+                                coff, want_t)
+                    coff = coff + okt.astype(_I32)
+                    meta = note(meta, _A_OFFSIGN, child_nodes[k], cfilt,
+                                cdep, coff, bt & ~st["dead"])
+                    coff = coff + oks.astype(_I32)
 
-            def do_lis(st):
-                def adv(st):
-                    return {**st, "phase": jnp.asarray(PH_REF, _I32)}
+            # ---- scalar bookkeeping + phase machine -------------------
+            lip_i = st["lip_i"] + lip_have.astype(_I32)
+            lis_i = st["lis_i"] + lis_have.astype(_I32)
+            ref_i = st["ref_i"] + ref_have.astype(_I32)
+            phase = jnp.where(adv_lip, PH_LIS,
+                              jnp.where(adv_lis, PH_REF, st["phase"]))
+            done = st["done"] | (plane_end & (n == 0))
+            # plane rollover (masked scalar selects only)
+            pe = plane_end
+            lipcur = jnp.where(pe, other_lip, st["lipcur"])
+            liscur = jnp.where(pe, other_lis, st["liscur"])
+            lip_cnt = jnp.where(pe, lip_w_new + lip_add, st["lip_cnt"])
+            lis_cnt = jnp.where(pe, lis_w_new, lis_w_cur)
+            lip_i = jnp.where(pe, 0, lip_i)
+            lis_i = jnp.where(pe, 0, lis_i)
+            ref_i = jnp.where(pe, 0, ref_i)
+            lip_w = jnp.where(pe, 0, lip_w_new)
+            lip_add2 = jnp.where(pe, 0, lip_add)
+            lis_w = jnp.where(pe, 0, lis_w_new)
+            lsp_snap = jnp.where(pe, lsp_w, st["lsp_snap"])
+            n_new = jnp.where(pe, jnp.maximum(n - 1, 0), n)
+            phase = jnp.where(pe, PH_LIP, phase)
 
-                return lax.cond(
-                    st["lis_i"] >= st["lis_cnt"], adv, lis_entry, st
-                )
+            return dict(
+                rec=rec, meta=meta, lip2=lip2, lis2=lis2, lsp=lsp,
+                lipcur=lipcur, liscur=liscur,
+                lip_cnt=lip_cnt, lip_i=lip_i, lip_w=lip_w,
+                lip_add=lip_add2,
+                lis_cnt=lis_cnt, lis_i=lis_i, lis_w=lis_w,
+                lsp_cnt=lsp_w, lsp_snap=lsp_snap, ref_i=ref_i,
+                cur=consumed, n=n_new, phase=phase,
+                dead=new_dead, done=done,
+            )
 
-            def do_ref(st):
-                def plane_done(st):
-                    done = st["n"] == 0
-                    # swap buffers: retained(+adds) become next plane's
-                    # queues; reset heads, snapshot LSP
-                    return {
-                        **st,
-                        "lipA": st["lipB"], "lipB": st["lipA"],
-                        "lip_cnt": st["lip_w"] + st["lip_add"],
-                        "lip_i": jnp.zeros((), _I32),
-                        "lip_w": jnp.zeros((), _I32),
-                        "lip_add": jnp.zeros((), _I32),
-                        "lisA": st["lisB"], "lisB": st["lisA"],
-                        "lis_cnt": st["lis_w"],
-                        "lis_i": jnp.zeros((), _I32),
-                        "lis_w": jnp.zeros((), _I32),
-                        "ref_i": jnp.zeros((), _I32),
-                        "lsp_snap": st["lsp_cnt"],
-                        "n": jnp.maximum(st["n"] - 1, 0),
-                        "phase": jnp.asarray(PH_LIP, _I32),
-                        "done": done,
-                    }
-
-                return lax.cond(
-                    st["ref_i"] >= st["lsp_snap"], plane_done, ref_entry, st
-                )
-
-            return lax.switch(ph, [do_lip, do_lis, do_ref], st)
-
-        st = {**st, "lsp_snap": jnp.zeros((), _I32)}
         out = lax.while_loop(
             lambda s: ~(s["dead"] | s["done"]), step, st
         )
-        return out["rec"].reshape(c, h, w), out["meta"]
+        return out["rec"][:N].reshape(c, h, w), out["meta"][:-1]
 
     return decode
 
@@ -576,3 +582,39 @@ def decode_device_with_metadata(
     )
     rec, meta = fn(_words_of(data, cap_words), nbits, int(n))
     return np.asarray(rec), np.asarray(meta)
+
+
+@lru_cache(maxsize=None)
+def _decode_batch_fn(c, h, w, ll_h, ll_w, cap_words):
+    fn = _build_decoder(c, h, w, ll_h, ll_w, 0, None, cap_words, 0)
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0)))
+
+
+def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
+    """Decode a batch of streams as B lockstep machines (one vmapped
+    while_loop: every per-entry scalar op becomes a B-wide vector op, so
+    batch throughput amortizes the TPU scalar-access latency that bounds
+    a single stream).
+
+    datas: list of bytes; ns: per-stream max_n (int or list).
+    """
+    B = len(datas)
+    if np.isscalar(ns):
+        ns = [ns] * B
+    cap_words = max(
+        (max((len(d) for d in datas), default=1) + 3) // 4, 1
+    )
+    words = np.zeros((B, cap_words), np.uint32)
+    nbits = np.zeros(B, np.int32)
+    for i, d in enumerate(datas):
+        raw = np.frombuffer(d, dtype=np.uint8)
+        words[i, : (raw.size + 3) // 4] = np.pad(
+            raw, (0, -raw.size % 4)
+        ).view(np.uint32)
+        nbits[i] = len(d) * 8
+    fn = _decode_batch_fn(c, h, w, ll_h, ll_w, cap_words)
+    rec, _ = fn(
+        jnp.asarray(words), jnp.asarray(nbits),
+        jnp.asarray(np.asarray(ns, np.int32)),
+    )
+    return np.asarray(rec)

@@ -136,3 +136,21 @@ def test_api_level_device_decoder_flag(rng, monkeypatch):
     b, bm = spiht_tpu.decode_image(er, SpihtSettings(), return_metadata=True)
     np.testing.assert_allclose(a, b)
     np.testing.assert_array_equal(am, bm)
+
+
+def test_device_decoder_batch(rng):
+    """vmapped batch decode: per-stream results identical to the native
+    decoder (mixed budgets -> different stream lengths)."""
+    from spiht_tpu.codec.device_decoder import decode_device_batch
+
+    nat = runtime.load()
+    arrs = (rng.standard_normal((4, 1, 16, 16)) * 400).astype(np.int32)
+    datas, ns = [], []
+    for b, mb in enumerate([150, 10**6, 64, 500]):
+        d, mn = nat.encode(arrs[b], 4, 4, mb)
+        datas.append(d)
+        ns.append(mn)
+    recs = decode_device_batch(datas, ns, 1, 16, 16, 4, 4)
+    for b in range(4):
+        want = nat.decode(datas[b], ns[b], 1, 16, 16, 4, 4)
+        np.testing.assert_array_equal(recs[b], want, err_msg=str(b))
