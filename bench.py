@@ -163,7 +163,7 @@ def main() -> None:
     if os.environ.get("SPIHT_BENCH_DEVICE", "1") == "1":
         import subprocess
 
-        budget = int(os.environ.get("SPIHT_BENCH_DEVICE_BUDGET", "420"))
+        budget = int(os.environ.get("SPIHT_BENCH_DEVICE_BUDGET", "150"))
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "spiht_tpu.codec.device_bench",
@@ -177,10 +177,24 @@ def main() -> None:
                 if line.startswith("{"):
                     device = json.loads(line)
         except subprocess.TimeoutExpired:
-            log("device-encoder lane: first-run compile exceeded budget; "
-                "it will hit the compilation cache next time")
+            log("device-encoder lane: remote compile exceeded the budget "
+                "(tunneled dev chip); falling back to the last recorded "
+                "hardware measurement")
         except Exception as e:
             log(f"device-encoder lane failed: {type(e).__name__}: {e}")
+        if not device:
+            try:
+                cache = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".bench_device_cache.json",
+                )
+                with open(cache) as f:
+                    device = json.load(f)
+                device["cached"] = True
+                log(f"device lane (cached, commit "
+                    f"{device.get('commit')}): {device}")
+            except Exception:
+                pass
 
     mpps = max(native_mpps, jax_mpps)
     result = {
@@ -190,12 +204,15 @@ def main() -> None:
         "vs_baseline": round(mpps / base_mpps, 3),
     }
     if device:
-        result["device_encode_mpps_full"] = device.get("mpps_full")
-        result[f"device_encode_mpps_{BPP}bpp"] = device.get(
+        suffix = "_cached" if device.get("cached") else ""
+        result[f"device_encode_mpps_full{suffix}"] = device.get("mpps_full")
+        result[f"device_encode_mpps_{BPP}bpp{suffix}"] = device.get(
             f"mpps_{BPP}bpp"
         )
         result["device_encode_geom"] = device.get("geom")
         result["device_encode_backend"] = device.get("backend")
+        if suffix:
+            result["device_encode_commit"] = device.get("commit")
     print(json.dumps(result))
 
 
