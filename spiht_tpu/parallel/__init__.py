@@ -13,7 +13,16 @@ dryrun_multichip exercises exactly that.
 """
 
 from .mesh import batch_sharding, image_sharding, make_mesh
-from .spatial import sharded_dwt2_level1, sharded_wavedec2_packed
+from .spatial import (
+    sharded_dwt2_level1,
+    sharded_plane_stats,
+    sharded_wavedec2_packed,
+)
+from .consistency import (
+    assert_replicated,
+    checked_call,
+    replication_discrepancy,
+)
 from .codec import encode_image_sharded
 from .distributed import (
     encode_manifest,
@@ -24,6 +33,10 @@ from .distributed import (
 )
 
 __all__ = [
+    "sharded_plane_stats",
+    "assert_replicated",
+    "checked_call",
+    "replication_discrepancy",
     "make_mesh",
     "batch_sharding",
     "image_sharding",

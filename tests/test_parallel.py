@@ -229,3 +229,38 @@ def test_encode_image_sharded_odd_width(rng):
         transform._BACKEND = old
     assert er_sh.encoded_bytes == er.encoded_bytes
     assert er_sh.max_n == er.max_n
+
+
+def test_replication_discrepancy_and_checkify(rng):
+    """Sanitizer utilities (SURVEY §6): replication assert + checkify."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from spiht_tpu.parallel.consistency import (
+        assert_replicated,
+        checked_call,
+        replication_discrepancy,
+    )
+
+    mesh = _mesh(1, 8)
+    x = jnp.asarray(rng.standard_normal((4, 8)))
+    # replicated values pass with exactly zero deviation
+    assert float(replication_discrepancy(x, mesh, "tile")) == 0.0
+    assert_replicated(x, mesh, "tile")
+
+    # the sharded DWT's replicated detail outputs are consistent
+    d1 = sharded_dwt2_level1(
+        jnp.asarray(rng.standard_normal((1, 16, 64))),
+        "bior2.2", "reflect", mesh,
+    )
+    assert_replicated(d1["dd"], mesh, "tile")
+
+    # checkify catches NaNs produced inside a jitted pipeline
+    import jax
+
+    def bad(v):
+        return jnp.log(v).sum()
+
+    with _pytest.raises(Exception):
+        checked_call(bad, jnp.asarray([-1.0, 2.0]))
+    assert float(checked_call(lambda v: v.sum(), x)) == float(x.sum())
