@@ -199,17 +199,26 @@ def _rank_of(keys_bits, present):
     present ones. Returns (pos, count).
     """
     n = keys_bits[0][0].shape[0]
+    # bit-concatenate the key stream into 31-bit lanes, SPLITTING keys
+    # across lane boundaries (comparing the high fragment first keeps
+    # lexicographic order): minimum lane count => minimum sort cost.
     lanes = []
-    cur, used = (~present).astype(_I32), 1
+    cur = (~present).astype(_I32)
+    curbits = 1
     for arr, nb in keys_bits:
         arr = jnp.clip(arr.astype(_I32), 0, (1 << nb) - 1)
-        if used + nb > 31:
-            lanes.append(cur)
-            cur, used = arr, nb
-        else:
-            cur = (cur << nb) | arr
-            used += nb
-    lanes.append(cur)
+        while nb > 0:
+            take = min(31 - curbits, nb)
+            part = (arr >> (nb - take)) & ((1 << take) - 1)
+            cur = (cur << take) | part
+            curbits += take
+            nb -= take
+            if curbits == 31:
+                lanes.append(cur)
+                cur = jnp.zeros(n, _I32)
+                curbits = 0
+    if curbits:
+        lanes.append(cur)
     if len(lanes) == 1:
         order = jnp.argsort(lanes[0])
     else:
@@ -493,7 +502,7 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             # ---------------- refinement ----------------
             rp = sig & (M > n)
             r_pos, r_cnt = _rank_of(
-                [(max_n - M, 6), (lsp_phase, 1), (lsp_S, bits_listS)], rp
+                [(max_n - M, 5), (lsp_phase, 1), (lsp_S, bits_listS)], rp
             )
             r_off = off + r_pos
             words = emit(
