@@ -82,6 +82,19 @@ def main() -> None:
             f"= {mpps:.2f} MP/s, bits={int(total)}")
         out[f"mpps_{tag}"] = round(mpps, 3)
         out[f"ms_{tag}"] = round(med * 1e3, 1)
+        # bit-exactness vs the native kernel, on this backend's output
+        from spiht_tpu.native import runtime
+
+        nat = runtime.load()
+        if nat is not None:
+            want, wmn = nat.encode(arr, llh, llw, min(mb, 2**31 - 2))
+            t = int(total)
+            got = np.asarray(words).view(np.uint8)[: (t + 7) // 8].tobytes()
+            exact = (wmn == int(mn)) and (got == want)
+            out[f"exact_{tag}"] = bool(exact)
+            log(f"{tag}: bit-exact vs native = {exact}")
+            if not exact:
+                log(f"  native bits={len(want)*8} device bits={t}")
     # persist for bench.py: on tunneled dev chips the first remote
     # compile (~400 s) rarely fits the driver's benchmark window, so the
     # last successful hardware measurement is reported (clearly labeled

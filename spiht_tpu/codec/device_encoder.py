@@ -21,8 +21,21 @@ from the coefficient array, using the validated closed forms:
     closed form == the reference worklist order);
   * LIP / refinement orders from carried (append plane, append seq)
     keys, updated as parents fire;
-  * absolute bit offsets from prefix sums; LSB-first packing by
-    scatter-adding single-bit contributions into uint32 words.
+  * SORTED-SPACE EMISSION: each entity's contiguous bits (LIP
+    test+sign, LIS desc-test+child-tests+signs, refinement bit) are
+    packed into one LSB-first bit group and embedded as payload bits
+    BELOW the rank keys in the packed sort lanes (every rank key
+    totally orders the present entities, so trailing payload bits
+    cannot perturb the order and ride the sort for free). After the
+    sort, bit offsets are exclusive cumsums of the group lengths in
+    sorted order, and the whole plane is emitted by ONE fused
+    scatter-add of (word, contribution) pairs into uint32 words. The
+    LIP and refinement passes need no rank inversion at all — the
+    carried LIP key pair (append plane, append seq) is
+    order-isomorphic to the fired cell's LIP rank, so the refinement
+    comparator uses it directly; only the LIS pass keeps a single
+    inversion scatter to recover entity-space positions for the
+    append-sequence carries.
 
 The plane loop is a `lax.while_loop` that visits only planes
 max_n..0 and exits early once the bit budget is exhausted (low-bpp
@@ -188,43 +201,91 @@ def _geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
     )
 
 
-def _rank_of(keys_bits, present):
-    """Dense positions: present entities ranked by packed-key sort.
+def _pack_lanes(fields, n):
+    """Bit-concatenate (arr, nbits, tag) fields into minimal 31-bit int32
+    sort lanes, SPLITTING fields across lane boundaries (the high
+    fragment lands in the earlier lane, so lexicographic lane comparison
+    equals comparison of the full concatenated bit string). Returns
+    (lanes, placements, widths): placements[tag] is a list of
+    (lane_idx, bits_above_in_lane, take, src_lo) fragments from which
+    the field can be re-extracted after sorting.
+    """
+    lane_parts, widths = [], []
+    cur_parts, curbits = [], 0
+    placements = {}
+    for arr, nb, tag in fields:
+        rem = nb
+        while rem > 0:
+            take = min(31 - curbits, rem)
+            src_lo = rem - take
+            cur_parts.append((arr, take, src_lo))
+            placements.setdefault(tag, []).append(
+                (len(lane_parts), curbits, take, src_lo)
+            )
+            curbits += take
+            rem -= take
+            if curbits == 31:
+                lane_parts.append(cur_parts)
+                widths.append(curbits)
+                cur_parts, curbits = [], 0
+    if curbits:
+        lane_parts.append(cur_parts)
+        widths.append(curbits)
+    lanes = []
+    for parts in lane_parts:
+        cur = jnp.zeros(n, _I32)
+        for arr, take, src_lo in parts:
+            part = (arr >> src_lo) & ((1 << take) - 1)
+            cur = (cur << take) | part
+        lanes.append(cur)
+    return lanes, placements, widths
 
-    keys_bits: list of (int32 array, bit width) pairs, most significant
-    first; values must be non-negative and fit the stated width for
-    present entities. Keys are greedily packed into as few int32 sort
-    lanes as possible (TPU variadic sorts cost per operand, so 7-key
-    lexsorts become 1-3 packed lanes). Absent entities rank after all
-    present ones. Returns (pos, count).
+
+def _sort_payload(keys_bits, payload_bits, present):
+    """Sorted-space rank: sort present entities by packed keys and return
+    the payload fields IN SORTED ORDER (plus the present count).
+
+    keys_bits / payload_bits: lists of (int32 array, bit width) pairs,
+    most significant first; values are clipped to the stated width.
+    REQUIREMENT: the key tuple must totally order the present entities
+    (no ties) — payload bits are packed BELOW the key bits in the same
+    sort lanes, so a key tie would let payload values leak into the
+    order. Every caller's key ends in a distinct per-entity sequence
+    field, so ties cannot occur. Absent entities sort after all present
+    ones; their payload values are whatever the caller packed (callers
+    mask by slot < cnt).
+
+    TPU variadic sorts cost per operand, so embedding the payloads in
+    the key lanes makes them ride the sort for free: the lane count
+    (and thus the sort cost) matches what a bare argsort of the same
+    keys would need once its implicit iota operand is counted.
     """
     n = keys_bits[0][0].shape[0]
-    # bit-concatenate the key stream into 31-bit lanes, SPLITTING keys
-    # across lane boundaries (comparing the high fragment first keeps
-    # lexicographic order): minimum lane count => minimum sort cost.
-    lanes = []
-    cur = (~present).astype(_I32)
-    curbits = 1
-    for arr, nb in keys_bits:
-        arr = jnp.clip(arr.astype(_I32), 0, (1 << nb) - 1)
-        while nb > 0:
-            take = min(31 - curbits, nb)
-            part = (arr >> (nb - take)) & ((1 << take) - 1)
-            cur = (cur << take) | part
-            curbits += take
-            nb -= take
-            if curbits == 31:
-                lanes.append(cur)
-                cur = jnp.zeros(n, _I32)
-                curbits = 0
-    if curbits:
-        lanes.append(cur)
-    if len(lanes) == 1:
-        order = jnp.argsort(lanes[0])
-    else:
-        order = jnp.lexsort(tuple(reversed(lanes)))
-    pos = jnp.zeros(n, _I32).at[order].set(jnp.arange(n, dtype=_I32))
-    return pos, present.astype(_I32).sum()
+    fields = [((~present).astype(_I32), 1, "_p")]
+    for k, (a, nb) in enumerate(keys_bits):
+        fields.append(
+            (jnp.clip(a.astype(_I32), 0, (1 << nb) - 1), nb, f"_k{k}")
+        )
+    tags = []
+    for k, (a, nb) in enumerate(payload_bits):
+        t = f"v{k}"
+        tags.append(t)
+        fields.append(
+            (jnp.clip(a.astype(_I32), 0, (1 << nb) - 1), nb, t)
+        )
+    lanes, plc, widths = _pack_lanes(fields, n)
+    s = lax.sort(tuple(lanes), num_keys=len(lanes))
+    if not isinstance(s, (tuple, list)):
+        s = (s,)
+    outs = []
+    for t in tags:
+        v = jnp.zeros(n, _I32)
+        for lane, above, take, src_lo in plc[t]:
+            shift = widths[lane] - above - take
+            frag = (s[lane] >> shift) & ((1 << take) - 1)
+            v = v | (frag << src_lo)
+        outs.append(v)
+    return outs, present.astype(_I32).sum()
 
 
 def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
@@ -355,21 +416,37 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
         bits_listS = max((8 * N + 3).bit_length(), 1)  # list keys < 8N+4
         bits_path = g["bits_path"]
 
-        def emit(words, pos, value, valid):
-            """Scatter one bit per entry: stream position -> uint32 words."""
-            ok = valid & (pos < max_bits) & (pos < cap_bits)
-            word = jnp.where(ok, (pos >> 5).astype(_I32), 0)
-            bit = (pos & 31).astype(jnp.uint32)
-            contrib = jnp.where(
-                ok & value, jnp.uint32(1) << bit, jnp.uint32(0)
-            )
-            return words.at[word].add(contrib)
+        limit = jnp.minimum(max_bits, jnp.asarray(cap_bits, _I32))
+
+        def group_parts(off_s, group_s, lo_only=False):
+            """Sorted-space bit-group emission: one (<=9-bit) group per
+            sorted slot at monotone bit offsets -> (word idx, uint32
+            contrib) scatter operands for the low word and (unless
+            lo_only) the high word the group may straddle. Callers mask
+            absent slots by zeroing their group; per-bit budget/capacity
+            truncation keeps only bits below `limit` (matching the
+            per-bit `pos < max_bits & pos < cap_bits` guard of the
+            scalar formulation)."""
+            keep = jnp.clip(limit - off_s, 0, 16)
+            grp = group_s & ((1 << keep) - 1)
+            grp = grp.astype(jnp.uint32)
+            any_b = grp != 0
+            w = jnp.where(any_b, off_s >> 5, 0)
+            sh = (off_s & 31).astype(jnp.uint32)
+            lo = grp << sh
+            parts = [(w, lo)]
+            if not lo_only:
+                # groups are <16 bits, so grp >> 31 == 0 covers sh == 0
+                hi = grp >> (jnp.uint32(32) - jnp.maximum(sh, 1))
+                parts.append((jnp.where(any_b & (hi != 0), w + 1, 0), hi))
+            return parts
 
         def body(carry):
             i = carry["i"]
             n = max_n - i
             off = carry["off"]
             words = carry["words"]
+            parts = []
 
             # ---------------- LIP pass ----------------
             lp = (
@@ -378,28 +455,25 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
                 & (n <= lip_hi)
                 & (carry["lip_S"] >= 0)
             )
-            lip_pos, lip_cnt = _rank_of(
-                [(40 - lip_appendP, 6), (carry["lip_S"], bits_listS)], lp
-            )
             fires_lip = lp & (M == n)
-            nbits = jnp.where(lp, 1 + fires_lip.astype(_I32), 0)
-            # offset of each cell = off + (#cells before it) + (#signs
-            # among cells before it) -> rank over (pos) prefix of nbits.
-            # With 1 or 2 bits: prefix = pos + (# firing cells with
-            # smaller pos). Compute via sorting-free trick: scatter nbits
-            # by pos then cumsum.
-            by_pos = jnp.zeros(N, _I32).at[
-                jnp.where(lp, lip_pos, N - 1)
-            ].add(jnp.where(lp, nbits, 0))
-            pre = jnp.cumsum(by_pos, dtype=_I32) - by_pos  # bits before each position
-            cell_off = off + pre[lip_pos]
-            words = emit(words, cell_off, lp & (M >= n), lp)
-            words = emit(words, cell_off + 1, af >= 0, fires_lip)
-            lip_bits = by_pos.sum(dtype=_I32)
+            # bit group per cell: [test, sign-if-firing]; LSB = first
+            # stream bit
+            lip_group = (lp & (M >= n)).astype(_I32) | jnp.where(
+                fires_lip & (af >= 0), 2, 0
+            )
+            (g_s, f_s), lip_cnt = _sort_payload(
+                [(40 - lip_appendP, 6), (carry["lip_S"], bits_listS)],
+                [(lip_group, 2), (fires_lip.astype(_I32), 1)],
+                lp,
+            )
+            v_s = jnp.arange(N, dtype=_I32) < lip_cnt
+            glen_s = jnp.where(v_s, 1 + f_s, 0)
+            off_s = off + jnp.cumsum(glen_s, dtype=_I32) - glen_s
+            parts += group_parts(off_s, jnp.where(v_s, g_s, 0))
+            lip_bits = lip_cnt + jnp.sum(fires_lip, dtype=_I32)
             off = jnp.minimum(off + lip_bits, sat)
-            # record LSP phase-0 keys for cells firing via LIP
-            lsp_phase = jnp.where(fires_lip, 0, carry["lsp_phase"])
-            lsp_S = jnp.where(fires_lip, lip_pos, carry["lsp_S"])
+            lsp_phase = carry["lsp_phase"]
+            lsp_S = carry["lsp_S"]
 
             # ---------------- LIS pass ----------------
             a_pres = (
@@ -432,51 +506,48 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             # its root sits at 2k - [root is a B entry]; its B instance
             # one deeper; roots are depth 0 (uniform via typ2 - rootT).
             depth2 = 2 * (td2 - tdR_eff) + typ2 - rootT
-            pos2, _ = _rank_of(
-                [
-                    (depth2, 6),
-                    (40 - rootP, 6),
-                    (rootS * 2 + rootT, bits_S + 1),
-                    (path2, bits_path),
-                ],
-                in2,
-            )
-            a_pos = pos2[:N]
-            b_pos = pos2[N:]
 
-            # per-entity bit counts in processing order
+            # per-entity bit counts and LSB-first bit groups:
+            # A: [desc test, per child: test, sign-if-firing]; B: [l-sig]
             signs = jnp.where(
                 a_fireN, (child_M == n).sum(axis=1).astype(_I32), 0
             )
             a_bits = jnp.where(in_a, 1 + jnp.where(a_fireN, 4 + signs, 0), 0)
             b_bits = jnp.where(in_b, 1, 0)
             bits2 = jnp.concatenate([a_bits, b_bits])
-            by_pos2 = jnp.zeros(2 * N, _I32).at[
-                jnp.where(in2, pos2, 2 * N - 1)
-            ].add(jnp.where(in2, bits2, 0))
-            pre2 = jnp.cumsum(by_pos2, dtype=_I32) - by_pos2
-            ent_off2 = off + pre2[pos2]
-            a_off = ent_off2[:N]
-            b_off = ent_off2[N:]
-
-            # emit: A desc test
-            words = emit(words, a_off, D >= n, in_a)
-            # offspring tests + signs, in child order; intra-entity
-            # offsets: 1 + sum over earlier children of (1 + sign)
             child_sign = (child_M == n) & a_fireN[:, None]
             child_sz = 1 + child_sign.astype(_I32)
             intra = jnp.cumsum(child_sz, axis=1, dtype=_I32) - child_sz  # (N, 4)
+            a_group = (in_a & (D >= n)).astype(_I32)
             for s in range(4):
-                copos = a_off + 1 + intra[:, s]
-                valid = a_fireN
-                words = emit(words, copos, child_M[:, s] >= n, valid)
-                words = emit(
-                    words, copos + 1, child_neg[:, s],
-                    valid & child_sign[:, s],
-                )
-            # B l-sig test
-            words = emit(words, b_off, G >= n, in_b)
-            lis_bits = by_pos2.sum(dtype=_I32)
+                t = (child_M[:, s] >= n) & a_fireN
+                a_group = a_group | (t.astype(_I32) << (1 + intra[:, s]))
+                sgn = child_sign[:, s] & child_neg[:, s]
+                a_group = a_group | (sgn.astype(_I32) << (2 + intra[:, s]))
+            b_group = (in_b & (G >= n)).astype(_I32)
+            group2 = jnp.concatenate([a_group, b_group])
+
+            (g2_s, gl2_s, idx_s), _ = _sort_payload(
+                [
+                    (depth2, 6),
+                    (40 - rootP, 6),
+                    (rootS * 2 + rootT, bits_S + 1),
+                    (path2, bits_path),
+                ],
+                [(group2, 9), (bits2, 4), (inst2, bits_S)],
+                in2,
+            )
+            # entity-space positions (append-sequence carries need them):
+            # the one remaining rank-inversion scatter
+            pos2 = jnp.zeros(2 * N, _I32).at[idx_s].set(
+                jnp.arange(2 * N, dtype=_I32)
+            )
+            a_pos = pos2[:N]
+            b_pos = pos2[N:]
+            # absent slots carry bits2 == 0, so the cumsum is unpolluted
+            off2_s = off + jnp.cumsum(gl2_s, dtype=_I32) - gl2_s
+            parts += group_parts(off2_s, g2_s)
+            lis_bits = jnp.sum(bits2, dtype=_I32)
 
             # carries for appended entities: appendS = processing position
             a_appN = a_exists & (a_appendP == n)
@@ -500,15 +571,37 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             off = jnp.minimum(off + lis_bits, sat)
 
             # ---------------- refinement ----------------
+            # LSP order key: refinement runs in append order — by fire
+            # plane (max_n - M), LIP-fired (phase 0) before LIS-fired
+            # (phase 1) within a plane. Phase-0 cells were ordered by
+            # their LIP rank at the fire plane; the carried LIP sort key
+            # (lip_appendP, lip_S) is stable from append to fire and
+            # order-isomorphic to that rank, so no per-plane LIP rank
+            # inversion is ever needed. Phase-1 cells use the recorded
+            # (parent position * 4 + slot) append key.
             rp = sig & (M > n)
-            r_pos, r_cnt = _rank_of(
-                [(max_n - M, 5), (lsp_phase, 1), (lsp_S, bits_listS)], rp
+            ref_bit = rp & (((jnp.abs(af) >> n) & 1) == 1)
+            k1 = jnp.where(lsp_phase == 0, 40 - lip_appendP, 0)
+            k2 = jnp.where(lsp_phase == 0, lip_S, lsp_S)
+            (rb_s,), r_cnt = _sort_payload(
+                [
+                    (max_n - M, 5),
+                    (lsp_phase, 1),
+                    (k1, 6),
+                    (k2, bits_listS),
+                ],
+                [(ref_bit.astype(_I32), 1)],
+                rp,
             )
-            r_off = off + r_pos
-            words = emit(
-                words, r_off, ((jnp.abs(af) >> n) & 1) == 1, rp
-            )
+            # 1-bit groups at dense offsets; absent slots carry bit 0
+            off_r = off + jnp.arange(N, dtype=_I32)
+            parts += group_parts(off_r, rb_s, lo_only=True)
             off = jnp.minimum(off + r_cnt, sat)
+
+            # one fused scatter-add for the whole plane's bits
+            words = words.at[jnp.concatenate([p[0] for p in parts])].add(
+                jnp.concatenate([p[1] for p in parts])
+            )
 
             return dict(
                 i=i + 1, a_S=a_S, b_S=b_S, lip_S=lip_S,

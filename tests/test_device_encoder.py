@@ -161,3 +161,37 @@ def test_api_falls_back_on_capacity_overflow(rng, monkeypatch):
     want = nat.encode(arr, 4, 4, 5000)
     got = api.encode(arr, 4, 4, 5000)
     assert got == want
+
+
+def test_pack_lanes_sort_payload_roundtrip(rng):
+    """The packed-lane sort must (a) order present entities exactly like a
+    plain lexsort of the key tuple and (b) return payload fields intact in
+    that order, even when fields split across 31-bit lane boundaries."""
+    import jax.numpy as jnp
+
+    from spiht_tpu.codec.device_encoder import _sort_payload
+
+    n = 257
+    # three keys whose total width (7 + 19 + 11 = 37 bits) forces a split
+    k0 = rng.integers(0, 1 << 7, n).astype(np.int32)
+    k1 = rng.integers(0, 1 << 19, n).astype(np.int32)
+    # last key made DISTINCT so the key tuple totally orders entities
+    # (the _sort_payload contract)
+    k2 = rng.permutation(n).astype(np.int32)
+    p0 = rng.integers(0, 1 << 9, n).astype(np.int32)
+    p1 = rng.integers(0, 1 << 4, n).astype(np.int32)
+    present = rng.random(n) < 0.7
+
+    (s0, s1), cnt = _sort_payload(
+        [(jnp.asarray(k0), 7), (jnp.asarray(k1), 19), (jnp.asarray(k2), 11)],
+        [(jnp.asarray(p0), 9), (jnp.asarray(p1), 4)],
+        jnp.asarray(present),
+    )
+    assert int(cnt) == int(present.sum())
+    order = np.lexsort((k2[present], k1[present], k0[present]))
+    np.testing.assert_array_equal(
+        np.asarray(s0)[: int(cnt)], p0[present][order]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1)[: int(cnt)], p1[present][order]
+    )
