@@ -430,15 +430,19 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             keep = jnp.clip(limit - off_s, 0, 16)
             grp = group_s & ((1 << keep) - 1)
             grp = grp.astype(jnp.uint32)
-            any_b = grp != 0
-            w = jnp.where(any_b, off_s >> 5, 0)
+            # offsets are monotone in sorted space, so the word indices
+            # are nondecreasing: clip (instead of redirecting masked
+            # entries to word 0) keeps them sorted, letting the scatter
+            # use XLA's sorted-indices path. Out-of-range bits were
+            # already zeroed by the budget mask above.
+            w = jnp.clip(off_s >> 5, 0, cap_words - 1)
             sh = (off_s & 31).astype(jnp.uint32)
             lo = grp << sh
             parts = [(w, lo)]
             if not lo_only:
                 # groups are <16 bits, so grp >> 31 == 0 covers sh == 0
                 hi = grp >> (jnp.uint32(32) - jnp.maximum(sh, 1))
-                parts.append((jnp.where(any_b & (hi != 0), w + 1, 0), hi))
+                parts.append((jnp.clip(w + 1, 0, cap_words - 1), hi))
             return parts
 
         def body(carry):
@@ -598,10 +602,10 @@ def _build(c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int):
             parts += group_parts(off_r, rb_s, lo_only=True)
             off = jnp.minimum(off + r_cnt, sat)
 
-            # one fused scatter-add for the whole plane's bits
-            words = words.at[jnp.concatenate([p[0] for p in parts])].add(
-                jnp.concatenate([p[1] for p in parts])
-            )
+            # 5 sorted scatter-adds (each channel's word indices are
+            # nondecreasing — see group_parts)
+            for wd, contrib in parts:
+                words = words.at[wd].add(contrib, indices_are_sorted=True)
 
             return dict(
                 i=i + 1, a_S=a_S, b_S=b_S, lip_S=lip_S,
