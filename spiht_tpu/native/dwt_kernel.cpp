@@ -32,40 +32,42 @@ enum ExtMode {
     EXT_ANTIREFLECT = 7,
 };
 
-// index map for sample i in [-pad, n+pad) plus a sign/affine rule
+// index map for sample i in [-pad, n+pad) plus a sign/affine rule.
+// ``s`` strides the signal (s=1: contiguous row; s=row_width: a column),
+// so the same rule serves both axes without transposing.
 template <typename T>
 static inline T ext_sample(const T* x, long long n, long long i,
-                           int mode) {
-    if (i >= 0 && i < n) return x[i];
+                           int mode, long long s = 1) {
+    if (i >= 0 && i < n) return x[i * s];
     switch (mode) {
         case EXT_ZERO:
             return 0.0;
         case EXT_CONSTANT:
-            return x[i < 0 ? 0 : n - 1];
+            return x[(i < 0 ? 0 : n - 1) * s];
         case EXT_SYMMETRIC: {
             long long p = 2 * n;
             long long m = ((i % p) + p) % p;
-            return m < n ? x[m] : x[p - 1 - m];
+            return m < n ? x[m * s] : x[(p - 1 - m) * s];
         }
         case EXT_REFLECT: {
             if (n == 1) return x[0];
             long long p = 2 * n - 2;
             long long m = ((i % p) + p) % p;
-            return m < n ? x[m] : x[p - m];
+            return m < n ? x[m * s] : x[(p - m) * s];
         }
         case EXT_PERIODIC: {
             long long m = ((i % n) + n) % n;
-            return x[m];
+            return x[m * s];
         }
         case EXT_SMOOTH: {
             if (n == 1) return x[0];
-            if (i < 0) return x[0] + (x[0] - x[1]) * (T)(-i);
-            return x[n - 1] + (x[n - 1] - x[n - 2]) * (T)(i - n + 1);
+            if (i < 0) return x[0] + (x[0] - x[s]) * (T)(-i);
+            return x[(n - 1) * s] + (x[(n - 1) * s] - x[(n - 2) * s]) * (T)(i - n + 1);
         }
         case EXT_ANTISYMMETRIC: {
             long long p = 2 * n;
             long long m = ((i % p) + p) % p;
-            return m < n ? x[m] : -x[p - 1 - m];
+            return m < n ? x[m * s] : -x[(p - 1 - m) * s];
         }
         case EXT_ANTIREFLECT: {
             // odd (point) reflection about the edge VALUES; for |offset|
@@ -75,13 +77,13 @@ static inline T ext_sample(const T* x, long long n, long long i,
             long long p = 2 * n - 2;
             if (i < 0) {
                 long long m = ((-i) % p + p) % p;
-                T v = m < n ? x[m] : x[p - m];
+                T v = m < n ? x[m * s] : x[(p - m) * s];
                 return (T)2.0 * x[0] - v;
             }
             long long j = 2 * (n - 1) - i;  // n-2 - (i - n)
             long long m = ((j % p) + p) % p;
-            T v = m < n ? x[m] : x[p - m];
-            return (T)2.0 * x[n - 1] - v;
+            T v = m < n ? x[m * s] : x[(p - m) * s];
+            return (T)2.0 * x[(n - 1) * s] - v;
         }
     }
     return 0.0;
@@ -90,28 +92,45 @@ static inline T ext_sample(const T* x, long long n, long long i,
 // single-level 1D analysis along a contiguous row of length n.
 //   out[o] = sum_t filt_rev[t] * ext2[2o + t],  filt_rev[t] = filt[F-1-t],
 //   ext2[i] = x_ext[i - (F-2)]  (signal extended F-1 both sides, then [1:]).
-// The extension is materialized once into ``extbuf`` (>= n + 2F - 2), so
-// the hot loop is pure contiguous FMAs that -O3 -march=native vectorizes.
+// The extension is materialized once and deinterleaved into even/odd
+// phases (ext2[2k] / ext2[2k+1]), so each tap pass is a contiguous
+// axpy vectorizable across outputs. Per-ELEMENT accumulation stays in
+// ascending-t order — bit-identical to the scalar reference loop (the
+// f64 path's golden-stream contract; -ffp-contract=off blocks FMA fusion).
+// ``scratch`` needs >= 2*n + 8*F elements.
 template <typename T>
 static void dwt_row(const T* x, long long n, const T* lo_rev,
-                    const T* hi_rev, int F, int mode, T* cA,
-                    T* cD, long long out_len, T* extbuf) {
+                    const T* hi_rev, int F, int mode, T* __restrict cA,
+                    T* __restrict cD, long long out_len, T* scratch) {
     const int pad = F - 1;
+    T* extbuf = scratch;
     for (int i = 0; i < pad; i++)
-        extbuf[i] = ext_sample(x, n, i - pad, mode);
+        extbuf[i] = ext_sample(x, n, (long long)i - pad, mode);
     std::memcpy(extbuf + pad, x, sizeof(T) * n);
     for (int i = 0; i < pad; i++)
         extbuf[pad + n + i] = ext_sample(x, n, n + i, mode);
     const T* e2 = extbuf + 1;  // ext2[0] = x_ext[-(F-2)]
-    for (long long o = 0; o < out_len; o++) {
-        const T* p = e2 + 2 * o;
-        T a = (T)0, d = (T)0;
-        for (int t = 0; t < F; t++) {
-            a += lo_rev[t] * p[t];
-            d += hi_rev[t] * p[t];
+    const long long e2len = n + 2 * pad - 1;
+    const long long half = e2len / 2 + 2;
+    T* __restrict ebuf = extbuf + n + 2 * F;
+    T* __restrict obuf = ebuf + half;
+    for (long long k = 0; 2 * k < e2len; k++) ebuf[k] = e2[2 * k];
+    for (long long k = 0; 2 * k + 1 < e2len; k++) obuf[k] = e2[2 * k + 1];
+    {
+        const T l0 = lo_rev[0], h0 = hi_rev[0];
+        for (long long o = 0; o < out_len; o++) {
+            cA[o] = l0 * ebuf[o];
+            cD[o] = h0 * ebuf[o];
         }
-        cA[o] = a;
-        cD[o] = d;
+    }
+    for (int t = 1; t < F; t++) {
+        // ext2[2o + t]: even t reads ebuf[o + t/2], odd t obuf[o + t/2]
+        const T* __restrict src = ((t & 1) ? obuf : ebuf) + (t >> 1);
+        const T lt = lo_rev[t], ht = hi_rev[t];
+        for (long long o = 0; o < out_len; o++) {
+            cA[o] += lt * src[o];
+            cD[o] += ht * src[o];
+        }
     }
 }
 
@@ -119,19 +138,56 @@ static inline long long coeff_len(long long n, int F) {
     return (n + F - 1) / 2;
 }
 
-// cache-blocked transpose
+// Column-pass analysis over a (ah x ow) plane, row-wise (no transposes):
+// output row o accumulates F tap passes of contiguous axpys over source
+// rows; source row index for (o, t) is v = 2o + t + 1 - pad, out-of-range
+// rows materialized per the extension rule applied down each column.
+// Per-element accumulation order matches dwt_row (f64 bit-compat). Detail
+// outputs can stream straight into the packed array via sA/sD strides.
 template <typename T>
-static void transpose(const T* src, long long rows, long long cols,
-                      T* dst) {
-    const long long B = 32;
-    for (long long i0 = 0; i0 < rows; i0 += B)
-        for (long long j0 = 0; j0 < cols; j0 += B) {
-            const long long i1 = std::min(i0 + B, rows);
-            const long long j1 = std::min(j0 + B, cols);
-            for (long long i = i0; i < i1; i++)
-                for (long long j = j0; j < j1; j++)
-                    dst[j * rows + i] = src[i * cols + j];
+static void dwt_cols(const T* x, long long ah, long long ow,
+                     const T* lo_rev, const T* hi_rev, int F, int mode,
+                     T* cA, long long sA, T* cD, long long sD,
+                     long long oh, std::vector<const T*>& vrow,
+                     std::vector<T>& padrows) {
+    const int pad = F - 1;
+    const long long vlo = 1 - pad;
+    const long long vhi = 2 * (oh - 1) + F - pad;  // inclusive
+    const long long nv = vhi - vlo + 1;
+    vrow.resize((size_t)nv);
+    long long npad = 0;
+    for (long long v = vlo; v <= vhi; v++)
+        if (v < 0 || v >= ah) npad++;
+    padrows.resize((size_t)std::max(npad, 1LL) * ow);
+    long long pi = 0;
+    for (long long v = vlo; v <= vhi; v++) {
+        if (v >= 0 && v < ah) {
+            vrow[v - vlo] = x + v * ow;
+            continue;
         }
+        T* dst = padrows.data() + (pi++) * ow;
+        for (long long c = 0; c < ow; c++)
+            dst[c] = ext_sample(x + c, ah, v, mode, ow);
+        vrow[v - vlo] = dst;
+    }
+    for (long long o = 0; o < oh; o++) {
+        T* __restrict a = cA + o * sA;
+        T* __restrict d = cD + o * sD;
+        const T* __restrict r0 = vrow[2 * o];  // v - vlo = 2o + t
+        const T l0 = lo_rev[0], h0 = hi_rev[0];
+        for (long long c = 0; c < ow; c++) {
+            a[c] = l0 * r0[c];
+            d[c] = h0 * r0[c];
+        }
+        for (int t = 1; t < F; t++) {
+            const T* __restrict r = vrow[2 * o + t];
+            const T lt = lo_rev[t], ht = hi_rev[t];
+            for (long long c = 0; c < ow; c++) {
+                a[c] += lt * r[c];
+                d[c] += ht * r[c];
+            }
+        }
+    }
 }
 
 // Multilevel 2D DWT of one channel (h x w f64) into the packed layout.
@@ -181,55 +237,28 @@ static void wavedec2_channel(const T* img, long long h, long long w,
         // [cA | cD] each ow... store cA rows into tmp1 (ah x ow) and cD
         // rows into tmp2 (ah x ow)
         static thread_local std::vector<T> extbuf;
-        extbuf.resize((size_t)std::max(ah, aw) + 2 * F);
+        extbuf.resize(2 * (size_t)std::max(ah, aw) + 8 * F);
         for (long long r = 0; r < ah; r++) {
             dwt_row(a_buf + r * aw, aw, lo_rev, hi_rev, F, mode,
                     tmp1 + r * ow, tmp2 + r * ow, ow, extbuf.data());
         }
-        // column pass on tmp1 (a branch) and tmp2 (d branch): transpose,
-        // row-conv, keep outputs transposed (oh x ow each)
-        // reuse a_buf as transpose scratch (ah*ow <= h*w)
-        T* tT = a_buf;
-        // column pass: operate on transposed data so both the filter taps
-        // AND the output writes are contiguous, then transpose back
-        static thread_local std::vector<T> aa, ad, da, dd, cT, c2T;
-        aa.resize((size_t)oh * ow); ad.resize((size_t)oh * ow);
-        da.resize((size_t)oh * ow); dd.resize((size_t)oh * ow);
-        cT.resize((size_t)ow * oh); c2T.resize((size_t)ow * oh);
-        // a branch
-        transpose(tmp1, ah, ow, tT);            // ow x ah
-        for (long long c = 0; c < ow; c++) {
-            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode,
-                    cT.data() + c * oh, c2T.data() + c * oh, oh,
-                    extbuf.data());
-        }
-        transpose(cT.data(), ow, oh, aa.data());
-        transpose(c2T.data(), ow, oh, da.data());
-        // d branch
-        transpose(tmp2, ah, ow, tT);
-        for (long long c = 0; c < ow; c++) {
-            dwt_row(tT + c * ah, ah, lo_rev, hi_rev, F, mode,
-                    cT.data() + c * oh, c2T.data() + c * oh, oh,
-                    extbuf.data());
-        }
-        transpose(cT.data(), ow, oh, ad.data());
-        transpose(c2T.data(), ow, oh, dd.data());
-        // ad: rows [0, oh), cols [start_w_l, +ow);
-        // da: rows [start_h_l, +oh), cols [0, ow);
-        // dd: rows [start_h_l, +oh), cols [start_w_l, +ow)
+        // column pass, row-wise: a-branch (tmp1) -> (aa, da), d-branch
+        // (tmp2) -> (ad, dd). aa lands in a_buf (the next approximation);
+        // details stream straight into the packed layout:
+        //   ad: rows [0, oh), cols [start_w_l, +ow);
+        //   da: rows [start_h_l, +oh), cols [0, ow);
+        //   dd: rows [start_h_l, +oh), cols [start_w_l, +ow)
+        static thread_local std::vector<const T*> vrow;
+        static thread_local std::vector<T> padrows;
         const long long sh = start_h[l], sw = start_w[l];
-        for (long long r = 0; r < oh; r++) {
-            std::memcpy(packed + r * packed_w + sw, ad.data() + r * ow,
-                        sizeof(T) * ow);
-        }
-        for (long long r = 0; r < oh; r++) {
-            std::memcpy(packed + (sh + r) * packed_w, da.data() + r * ow,
-                        sizeof(T) * ow);
-            std::memcpy(packed + (sh + r) * packed_w + sw, dd.data() + r * ow,
-                        sizeof(T) * ow);
-        }
-        // aa becomes next approximation
-        std::memcpy(a_buf, aa.data(), sizeof(T) * oh * ow);
+        dwt_cols(tmp1, ah, ow, lo_rev, hi_rev, F, mode,
+                 a_buf, ow,
+                 packed + sh * packed_w, packed_w,
+                 oh, vrow, padrows);
+        dwt_cols(tmp2, ah, ow, lo_rev, hi_rev, F, mode,
+                 packed + sw, packed_w,
+                 packed + sh * packed_w + sw, packed_w,
+                 oh, vrow, padrows);
         ah = oh;
         aw = ow;
         lvl_h[l] = oh;
@@ -330,27 +359,73 @@ extern "C" int spiht_dwt_forward_f32(const float* img, int C, long long h, long 
 //   out_len = 2n - F + 2, summed over the (cA, rec_lo), (cD, rec_hi) pair.
 // ---------------------------------------------------------------------------
 
+// Even/odd output phases accumulate per-tap contiguous two-term axpys
+// (vectorizable across m), then interleave into out. Per-element op order
+// is identical to the scalar u-ascending loop (f64 bit-compat). ebuf/obuf
+// scratch each needs >= (out_len + 1) / 2 + 1 elements.
 template <typename T>
 static void idwt_row(const T* a, const T* d, long long n,
                      const T* lo, const T* hi, int F, T* out,
-                     long long out_len) {
+                     long long out_len, T* __restrict ebuf,
+                     T* __restrict obuf) {
     const long long n_even = (out_len + 1) / 2;
     const long long n_odd = out_len / 2;
-    for (long long m = 0; m < n_even; m++) {
-        T s = (T)0;
-        for (int u = 0; 2 * u + 1 < F; u++) {
-            const long long i = m + u;
-            if (i < n) s += a[i] * lo[F - 2 - 2 * u] + d[i] * hi[F - 2 - 2 * u];
-        }
-        out[2 * m] = s;
+    for (long long m = 0; m < n_even; m++) ebuf[m] = (T)0;
+    for (long long m = 0; m < n_odd; m++) obuf[m] = (T)0;
+    for (int u = 0; 2 * u + 1 < F; u++) {
+        const T flo = lo[F - 2 - 2 * u], fhi = hi[F - 2 - 2 * u];
+        const long long mmax = std::min(n_even, n - u);
+        const T* __restrict ar = a + u;
+        const T* __restrict dr = d + u;
+        for (long long m = 0; m < mmax; m++)
+            ebuf[m] += flo * ar[m] + fhi * dr[m];
+    }
+    for (int v = 0; 2 * v < F; v++) {
+        const T flo = lo[F - 1 - 2 * v], fhi = hi[F - 1 - 2 * v];
+        const long long mmax = std::min(n_odd, n - v);
+        const T* __restrict ar = a + v;
+        const T* __restrict dr = d + v;
+        for (long long m = 0; m < mmax; m++)
+            obuf[m] += flo * ar[m] + fhi * dr[m];
     }
     for (long long m = 0; m < n_odd; m++) {
-        T s = (T)0;
-        for (int v = 0; 2 * v < F; v++) {
-            const long long i = m + v;
-            if (i < n) s += a[i] * lo[F - 1 - 2 * v] + d[i] * hi[F - 1 - 2 * v];
+        out[2 * m] = ebuf[m];
+        out[2 * m + 1] = obuf[m];
+    }
+    if (n_even > n_odd) out[2 * (n_even - 1)] = ebuf[n_even - 1];
+}
+
+// H-axis synthesis, row-wise (no transposes): even/odd output rows
+// accumulate per-tap contiguous two-term axpys over the (dh x ow) branch
+// planes. Per-element op order matches idwt_row (f64 bit-compat).
+template <typename T>
+static void idwt_cols(const T* a, const T* d, long long dh, long long ow,
+                      const T* lo, const T* hi, int F, T* out,
+                      long long oh) {
+    const long long n_even = (oh + 1) / 2;
+    const long long n_odd = oh / 2;
+    std::memset(out, 0, sizeof(T) * (size_t)oh * ow);
+    for (int u = 0; 2 * u + 1 < F; u++) {
+        const T flo = lo[F - 2 - 2 * u], fhi = hi[F - 2 - 2 * u];
+        const long long mmax = std::min(n_even, dh - u);
+        for (long long m = 0; m < mmax; m++) {
+            T* __restrict o_ = out + 2 * m * ow;
+            const T* __restrict ar = a + (m + u) * ow;
+            const T* __restrict dr = d + (m + u) * ow;
+            for (long long c = 0; c < ow; c++)
+                o_[c] += flo * ar[c] + fhi * dr[c];
         }
-        out[2 * m + 1] = s;
+    }
+    for (int v = 0; 2 * v < F; v++) {
+        const T flo = lo[F - 1 - 2 * v], fhi = hi[F - 1 - 2 * v];
+        const long long mmax = std::min(n_odd, dh - v);
+        for (long long m = 0; m < mmax; m++) {
+            T* __restrict o_ = out + (2 * m + 1) * ow;
+            const T* __restrict ar = a + (m + v) * ow;
+            const T* __restrict dr = d + (m + v) * ow;
+            for (long long c = 0; c < ow; c++)
+                o_[c] += flo * ar[c] + fhi * dr[c];
+        }
     }
 }
 
@@ -390,33 +465,25 @@ static void waverec2_channel(const T* packed, long long pw_row,
         // W-axis pass: rows of (aa, ad) -> b_buf (ch x ow);
         //              rows of (da, dd) -> t_buf (dh x ow)
         // aa = a_buf (ch x cw), ad = packed[0:dh, sw:sw+dw] (row r < ch)
+        static thread_local std::vector<T> phbuf;
+        phbuf.resize((size_t)ow + 2 * F + 4);
+        T* ebuf = phbuf.data();
+        T* obuf = ebuf + ow / 2 + F + 2;
         for (long long r = 0; r < ch; r++) {
             idwt_row(a_buf + r * cw, packed + r * pw_row + sw, dw, rec_lo,
-                     rec_hi, F, b_buf + r * ow, ow);
+                     rec_hi, F, b_buf + r * ow, ow, ebuf, obuf);
         }
         for (long long r = 0; r < dh; r++) {
             idwt_row(packed + (sh + r) * pw_row,
                      packed + (sh + r) * pw_row + sw, dw, rec_lo, rec_hi, F,
-                     t_buf + r * ow, ow);
+                     t_buf + r * ow, ow, ebuf, obuf);
         }
-        // H-axis pass: transpose both branches so the synthesis runs on
-        // contiguous rows (the strided column walk dominated decode time),
-        // then transpose the result back into a_buf (oh x ow).
-        static thread_local std::vector<T> aT, dT, oT;
-        aT.resize((size_t)ow * dh);
-        dT.resize((size_t)ow * dh);
-        oT.resize((size_t)ow * oh);
+        // H-axis pass, row-wise into a_buf (oh x ow).
         // b_buf has ch (== dh after crop) rows; zero-fill any gap
         if (ch < dh) {
             std::memset(b_buf + ch * ow, 0, sizeof(T) * (dh - ch) * ow);
         }
-        transpose(b_buf, dh, ow, aT.data());   // ow x dh
-        transpose(t_buf, dh, ow, dT.data());
-        for (long long c = 0; c < ow; c++) {
-            idwt_row(aT.data() + c * dh, dT.data() + c * dh, dh, rec_lo,
-                     rec_hi, F, oT.data() + c * oh, oh);
-        }
-        transpose(oT.data(), ow, oh, a_buf);   // oh x ow
+        idwt_cols(b_buf, t_buf, dh, ow, rec_lo, rec_hi, F, a_buf, oh);
         ah = oh;
         aw = ow;
     }
