@@ -109,7 +109,39 @@ void spiht_compute_maps(const int32_t* arr, int c, int h, int w,
         int8_t* gg = G + k * plane;
         for (long long t = 0; t < plane; t++) m[t] = msb_level(a[t]);
         int off[8];
-        for (int i = h - 1; i >= 0; i--) {
+        // Rows i >= ll_h use the generic child rule (2i, 2i+1) only, and
+        // both child rows are strictly below in iteration order — so the
+        // whole row reduces to pairwise-max downsampling of the child
+        // rows, vectorizable. The LL-parity rows (i < ll_h) keep the
+        // scalar descending-j walk (same-row references resolve in-order).
+        for (int i = h - 1; i >= ll_h; i--) {
+            int8_t* drow = d + (long long)i * w;
+            int8_t* grow = gg + (long long)i * w;
+            if (2 * i + 1 >= h) {
+                std::memset(drow, 0xff, w);  // -1: no children
+                std::memset(grow, 0xff, w);
+                continue;
+            }
+            const int8_t* m0 = m + (long long)(2 * i) * w;
+            const int8_t* d0 = d + (long long)(2 * i) * w;
+            const int8_t* m1 = m0 + w;
+            const int8_t* d1 = d0 + w;
+            const int jmax = w / 2;  // cells with 2j+1 < w
+            for (int j = 0; j < jmax; j++) {
+                const int8_t a0 = std::max(std::max(m0[2 * j], d0[2 * j]),
+                                           std::max(m0[2 * j + 1], d0[2 * j + 1]));
+                const int8_t a1 = std::max(std::max(m1[2 * j], d1[2 * j]),
+                                           std::max(m1[2 * j + 1], d1[2 * j + 1]));
+                drow[j] = std::max(a0, a1);
+                grow[j] = std::max(std::max(d0[2 * j], d0[2 * j + 1]),
+                                   std::max(d1[2 * j], d1[2 * j + 1]));
+            }
+            for (int j = jmax; j < w; j++) {
+                drow[j] = -1;
+                grow[j] = -1;
+            }
+        }
+        for (int i = (ll_h < h ? ll_h : h) - 1; i >= 0; i--) {
             for (int j = w - 1; j >= 0; j--) {
                 const int n = offspring(g, i, j, off);
                 int8_t dv = -1, gv = -1;
@@ -130,12 +162,13 @@ void spiht_compute_maps(const int32_t* arr, int c, int h, int w,
 // max_n: (max_abs as f32).log2() truncated (reference hazard #2)
 // ---------------------------------------------------------------------------
 static int compute_max_n(const int32_t* arr, long long n) {
-    int64_t mx = 0;
+    uint32_t umx = 0;
     for (long long t = 0; t < n; t++) {
-        int64_t a = arr[t];
-        if (a < 0) a = -a;
-        if (a > mx) mx = a;
+        const int32_t x = arr[t];
+        const uint32_t a = x < 0 ? 0u - (uint32_t)x : (uint32_t)x;
+        umx = a > umx ? a : umx;
     }
+    const int64_t mx = (int64_t)umx;
     if (mx <= 0) return 0;
     const float lg = std::log2f((float)mx);
     if (lg < 0.f) return 0;
@@ -187,6 +220,168 @@ static bool set_sig_recursive(const int32_t* a, const Geo& g, int w, int i0,
 }
 
 // ---------------------------------------------------------------------------
+// Word-based bit output (LSB-first): bit t of the stream is bit t%64 of
+// words[t/64]; little-endian byte copy yields exactly the reference's
+// LSB-first-per-byte wire format.
+// ---------------------------------------------------------------------------
+struct BitWriter64 {
+    std::vector<uint64_t> words;
+    uint64_t cur = 0;
+    long long nbits = 0;
+    inline void push(bool b) {
+        cur |= (uint64_t)b << (nbits & 63);
+        if (((++nbits) & 63) == 0) {
+            words.push_back(cur);
+            cur = 0;
+        }
+    }
+    void copy_out(uint8_t* dst) const {
+        const long long nbytes = (nbits + 7) / 8;
+        const long long full = (long long)words.size() * 8;
+        const long long head = nbytes < full ? nbytes : full;
+        std::memcpy(dst, words.data(), head);
+        if (nbytes > full) std::memcpy(dst + full, &cur, nbytes - full);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Map-driven scheduling fast path. Identical wire format/list semantics to
+// the generic loop below (fuzzed against it and the oracle); the layout
+// insight is that the encoder never needs a LIP entry's POSITION — only
+// its value (sig test, sign, refinement magnitude) — so LIP is a flat
+// int32 value stream and LSP a flat magnitude stream, making the LIP and
+// refinement passes branch-light sequential scans with no random memory
+// access. Only the LIS worklist still gathers (D/G maps, child values).
+// ---------------------------------------------------------------------------
+static int encode_fast(const int32_t* arr, int c, int h, int w, int ll_h,
+                       int ll_w, long long max_bits, const int8_t* M,
+                       const int8_t* D, const int8_t* G, int max_n,
+                       uint8_t** out_data, long long* out_nbits) {
+    const Geo g{h, w, ll_h, ll_w};
+    const long long plane = (long long)h * w;
+
+    BitWriter64 bw;
+    bw.words.reserve(1 << 12);
+
+    std::vector<int32_t> lip, lip_next;        // coefficient values
+    std::vector<uint32_t> lsp;                 // magnitudes
+    std::vector<Entry> lis, lis_next;
+    std::vector<uint8_t> lis_type, lis_type_next;  // 1 = A, 0 = B
+    lip.reserve(2 * (size_t)c * ll_h * ll_w);
+    for (int i = 0; i < ll_h; i++)
+        for (int j = 0; j < ll_w; j++)
+            for (int k = 0; k < c; k++)
+                lip.push_back(arr[(long long)k * plane + (long long)i * w + j]);
+    for (int i = 0; i < ll_h; i++)
+        for (int j = 0; j < ll_w; j++) {
+            if ((i & 1) == 0 && (j & 1) == 0) continue;
+            for (int k = 0; k < c; k++) {
+                lis.push_back({i, j, (int16_t)k, 0, 0});
+                lis_type.push_back(1);
+            }
+        }
+
+    #define PUSH_BIT(b)                                                     \
+        do {                                                                \
+            bw.push(b);                                                     \
+            if (bw.nbits == max_bits) goto finish;                          \
+        } while (0)
+
+    {
+        int n = max_n;
+        int off[8];
+        for (;;) {
+            const size_t lsp_len = lsp.size();
+            const uint32_t thresh = 1u << n;
+
+            // --- LIP pass: sequential scan over values ---
+            lip_next.clear();
+            for (const int32_t x : lip) {
+                const uint32_t mag = (uint32_t)(x < 0 ? -(int64_t)x : x);
+                const bool sig = mag >= thresh;
+                PUSH_BIT(sig);
+                if (sig) {
+                    lsp.push_back(mag);
+                    PUSH_BIT(x >= 0);
+                } else {
+                    lip_next.push_back(x);
+                }
+            }
+            std::swap(lip, lip_next);
+
+            // --- LIS worklist pass ---
+            lis_next.clear();
+            lis_type_next.clear();
+            for (size_t qi = 0; qi < lis.size(); qi++) {
+                const Entry e = lis[qi];
+                const long long idx =
+                    (long long)e.k * plane + (long long)e.i * w + e.j;
+                if (lis_type[qi]) {
+                    const bool desc_sig = D[idx] >= n;
+                    PUSH_BIT(desc_sig);
+                    if (desc_sig) {
+                        const int nn = offspring(g, e.i, e.j, off);
+                        for (int q = 0; q < nn; q++) {
+                            const long long cidx = (long long)e.k * plane +
+                                (long long)off[2 * q] * w + off[2 * q + 1];
+                            const int32_t x = arr[cidx];
+                            const uint32_t mag =
+                                (uint32_t)(x < 0 ? -(int64_t)x : x);
+                            const bool sig = mag >= thresh;
+                            PUSH_BIT(sig);
+                            if (sig) {
+                                lsp.push_back(mag);
+                                PUSH_BIT(x >= 0);
+                            } else {
+                                lip.push_back(x);
+                            }
+                        }
+                        if (has_grandchildren(g, e.i, e.j)) {
+                            lis.push_back(e);
+                            lis_type.push_back(0);
+                        }
+                    } else {
+                        lis_next.push_back(e);
+                        lis_type_next.push_back(1);
+                    }
+                } else {
+                    const bool l_sig = G[idx] >= n;
+                    PUSH_BIT(l_sig);
+                    if (l_sig) {
+                        const int nn = offspring(g, e.i, e.j, off);
+                        for (int q = 0; q < nn; q++) {
+                            lis.push_back({off[2 * q], off[2 * q + 1], e.k, 0, 0});
+                            lis_type.push_back(1);
+                        }
+                    } else {
+                        lis_next.push_back(e);
+                        lis_type_next.push_back(0);
+                    }
+                }
+            }
+            std::swap(lis, lis_next);
+            std::swap(lis_type, lis_type_next);
+
+            // --- refinement: sequential scan over magnitudes ---
+            for (size_t t = 0; t < lsp_len; t++)
+                PUSH_BIT((lsp[t] >> n) & 1);
+
+            if (n == 0) break;
+            n--;
+        }
+    }
+
+finish:
+    *out_nbits = bw.nbits;
+    const long long nbytes = (bw.nbits + 7) / 8;
+    uint8_t* out = (uint8_t*)std::malloc(nbytes > 0 ? nbytes : 1);
+    bw.copy_out(out);
+    *out_data = out;
+    return 0;
+    #undef PUSH_BIT
+}
+
+// ---------------------------------------------------------------------------
 // Encoder. use_maps: 0 = reference-style recursion (baseline),
 //                    1 = level-map driven (fast path).
 // Maps may be passed in (e.g. computed on TPU); pass null to compute here.
@@ -224,6 +419,10 @@ int spiht_encode(const int32_t* arr, int c, int h, int w, int ll_h, int ll_w,
     const int max_n =
         forced_max_n >= 0 ? forced_max_n : compute_max_n(arr, total);
     *out_max_n = max_n;
+
+    if (use_maps)
+        return encode_fast(arr, c, h, w, ll_h, ll_w, max_bits, M, D, G,
+                           max_n, out_data, out_nbits);
 
     BitWriter bw;
     bw.buf.reserve(1 << 16);
