@@ -95,6 +95,40 @@ def main() -> None:
             log(f"{tag}: bit-exact vs native = {exact}")
             if not exact:
                 log(f"  native bits={len(want)*8} device bits={t}")
+
+    # ---- decoder lane: hybrid plane-phase machine on the same streams
+    from spiht_tpu.codec.device_decoder import decode_device_fn, _words_of
+    from spiht_tpu.native import runtime
+
+    nat = runtime.load()
+    for tag, mb in (
+        ("full", 2**31 - 2),
+        (f"{bpp}bpp", int(round(bpp * h_in * w_in))),
+    ):
+        data, dmn = nat.encode(arr, llh, llw, mb)
+        nbits = len(data) * 8
+        cap_words = max((nbits + 31) // 32, 1)
+        dfn = decode_device_fn(c, h, w, llh, llw, cap_words)
+        jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
+        t0 = time.perf_counter()
+        rec = dfn(jw, nbits, dmn)
+        jax.block_until_ready(rec)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            rec = dfn(jw, nbits, dmn)
+            jax.block_until_ready(rec)
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        mpps = c * h * w / 1e6 / med
+        want_rec = nat.decode(data, dmn, c, h, w, llh, llw)
+        exact = bool(np.array_equal(np.asarray(rec), want_rec))
+        log(f"decode {tag}: first {compile_s:.1f}s, median "
+            f"{med*1e3:.0f} ms = {mpps:.2f} MP/s, exact={exact}")
+        out[f"mpps_dec_{tag}"] = round(mpps, 3)
+        out[f"ms_dec_{tag}"] = round(med * 1e3, 1)
+        out[f"exact_dec_{tag}"] = exact
     # persist for bench.py: on tunneled dev chips the first remote
     # compile (~400 s) rarely fits the driver's benchmark window, so the
     # last successful hardware measurement is reported (clearly labeled

@@ -22,9 +22,12 @@ Bit-exact against the in-repo oracle / native kernel, including:
     (reference: encoder_decoder.rs:631-841), including the f32
     local-position arithmetic and the (n_bits+1)-row layout.
 
-Queue capacities are exact, not heuristic: a cell is in LIP at most once
-concurrently (<= N), LIS holds at most one A and one B instance per node
-(<= 2N), LSP appends each cell once (<= N). Per plane the LIP/LIS queues
+Queue capacities are exact, not heuristic: they are computed from the
+geometry's parent-multiplicity map (`_dec_geom`). Dyadic layouts give
+the classic bounds (LIP <= N, LIS <= 2N, LSP <= N); odd-LL layouts have
+overlapping offspring (a cell can have up to 4 parents, and instance
+counts compound down the duplicated subtrees), and the bounds follow
+the exact instance counts. Per plane the LIP/LIS queues
 use double buffers (process one, write retained entries to the other);
 same-pass LIS appends go to the tail of the buffer being processed,
 which is exactly the reference's worklist order.
@@ -84,6 +87,36 @@ def _dec_geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
         _F_DD,
         np.where((ii % 2 == 0) & (jj % 2 != 0), _F_AD, _F_DA),
     )
+    # --- exact queue-capacity bounds under duplicate parents ----------
+    # With odd LL dims the parity offspring map overlaps: a cell can
+    # have up to 4 parents, and instance counts compound down the tree
+    # (a duplicated parent's whole subtree is traversed once per
+    # instance). inst[x] = number of LIS A-instances of x over the whole
+    # run; arrivals[x] = total child-test events on x = sum of parents'
+    # inst. Edges strictly increase i+j, so one diagonal sweep is a
+    # topological order. Dyadic geometries give inst == 1 everywhere and
+    # the bounds reduce to the classic N / 2N.
+    inst = np.zeros((h, w), np.int64)
+    inst[:ll_h, :ll_w] = ~even[:ll_h, :ll_w]
+    arrivals = np.zeros((h, w), np.int64)
+    diag = (ii + jj).astype(np.int64)
+    for d in range(int(diag.max()) + 1):
+        m = diag == d
+        upd = m & ~in_ll
+        inst[upd] = arrivals[upd]
+        pm = m & has_child & (inst > 0)
+        if not pm.any():
+            continue
+        src = inst[pm]
+        ti = oi[pm].astype(np.int64)
+        tj = oj[pm].astype(np.int64)
+        for di in (0, 1):
+            for dj in (0, 1):
+                np.add.at(arrivals, (ti + di, tj + dj), src)
+    ent_bound = int(c * (ll_h * ll_w + arrivals.sum()))
+    lis_bound = int(c * ((ll_h * ll_w - len(range(0, ll_h, 2)) *
+                          len(range(0, ll_w, 2))) + arrivals.sum()))
+
     flat = lambda x: np.broadcast_to(
         x[None], (c, h, w)
     ).reshape(-1)
@@ -113,6 +146,8 @@ def _dec_geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
         in_ll=jnp.asarray(flat(in_ll)),
         lip_init=np.asarray(lipq, np.int32),
         lis_init=np.asarray(lisq, np.int32),
+        ent_bound=ent_bound,
+        lis_bound=lis_bound,
     )
 
 
@@ -188,8 +223,11 @@ def _build_decoder(
         )
     else:
         rtab = jnp.asarray(_rect_table(level, ll_h, ll_w, None))
-    LIP_CAP = N + 1
-    LIS_CAP = 2 * N + 1
+    # exact bounds from the geometry's parent-multiplicity (duplicate
+    # parents in odd-LL layouts make > N entries possible)
+    LIP_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    ENT_CAP = g["ent_bound"] + 1
 
     lip_init = _pack(
         jnp.asarray(g["lip_init"]), jnp.int32(0), jnp.int32(_F_LL),
@@ -216,7 +254,7 @@ def _build_decoder(
             meta=jnp.zeros((max(meta_rows, 1) + 1, 8), _I32),
             lip2=lip2,
             lis2=lis2,
-            lsp=jnp.zeros(N + 1, _I32),
+            lsp=jnp.zeros(ENT_CAP, _I32),
             lipcur=jnp.zeros((), _I32),
             liscur=jnp.zeros((), _I32),
             lip_cnt=jnp.asarray(n_lip0, _I32),
@@ -342,7 +380,7 @@ def _build_decoder(
             SCR_REC = N
             SCR_LIP = LIP_CAP - 1
             SCR_LIS = LIS_CAP - 1
-            SCR_LSP = N
+            SCR_LSP = ENT_CAP - 1
 
             other_lip = 1 - st["lipcur"]
             other_lis = 1 - st["liscur"]
@@ -510,6 +548,299 @@ def _build_decoder(
     return decode
 
 
+def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
+                  cap_words: int):
+    """Hybrid plane-phase decoder (plain decode, no metadata).
+
+    Decode parsing is counter-dependent, but only the LIS cascade truly
+    is: per plane,
+      * the LIP section is a 2-state grammar (test bit; if 1, a sign bit
+        follows). A position is a sign bit iff the run of 1s ending just
+        before it has odd length — one cummax + cumsums classify the
+        whole section, and entry routing (retain / LSP append) becomes
+        rank scatters. Fully parallel.
+      * the refinement section is a known-length dense run over the LSP
+        prefix — pure elementwise once LSP magnitudes are kept as a flat
+        stream. Fully parallel, no gathers.
+      * the LIS worklist keeps the sequential masked-DUS machine (fired
+        sets splice child records into the same pass), but with a
+        LIS-only body.
+    Significance and refinement write a SHARED rec array in place (not
+    per-LSP-entry running values): in non-dyadic geometries two LIS
+    parents can own the same child (overlapping offspring), so a cell
+    can enter LSP more than once, and the oracle semantics
+    (encoder_decoder.rs-style in-place refinement) make every
+    duplicate's bits land on the one shared cell — including the
+    re-significance overwrite. Within one plane all duplicate writes
+    carry identical values (the encoder emits the same actual
+    coefficient bit for every instance), so the parallel scatters stay
+    order-independent. Bit-exact vs the sequential machine / native
+    kernel including byte-prefix truncation (reference pop_bit
+    semantics, /root/reference/src/encoder_decoder.rs:314-325).
+    """
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    # exact bounds from parent multiplicity (see _dec_geom): dyadic
+    # geometries give the classic N / 2N
+    LIP_CAP = g["ent_bound"] + 1
+    ENT_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    # LIP-section window: <= 2 entries' bits per LIP slot, and never more
+    # than the whole (padded) stream
+    W = int(min(2 * g["ent_bound"] + 2, cap_words * 32))
+    WW = (W + 31) // 32 + 2
+    RW = int(min(ENT_CAP, cap_words * 32))
+    RWW = (RW + 31) // 32 + 2
+
+    lip_init = jnp.asarray(g["lip_init"])              # bare nodes
+    lis_init = (jnp.asarray(g["lis_init"]) << 1) | 1   # node<<1 | typeA
+    n_lip0 = int(lip_init.shape[0])
+    n_lis0 = int(lis_init.shape[0])
+    PADW = cap_words + max(WW, RWW) + 2
+
+    def decode(words, nbits, max_n):
+        nbits = jnp.asarray(nbits, _I32)
+        max_n = jnp.asarray(max_n, _I32)
+        wpad = jnp.zeros(PADW, jnp.uint32).at[:cap_words].set(words)
+
+        def bit_at(pos):
+            word = words[jnp.clip(pos >> 5, 0, cap_words - 1)]
+            return ((word >> (pos & 31).astype(jnp.uint32)) & 1) == 1
+
+        def window(cur, nwords, nbits_w):
+            ws = lax.dynamic_slice(wpad, (cur >> 5,), (nwords,))
+            bits = (
+                (ws[:, None] >> jnp.arange(32, dtype=jnp.uint32)[None, :])
+                & 1
+            ).astype(jnp.bool_).reshape(-1)
+            return lax.dynamic_slice(bits, (cur & 31,), (nbits_w,))
+
+        st = dict(
+            lip2=jnp.zeros((2, LIP_CAP), _I32).at[0, :n_lip0].set(lip_init),
+            lis2=jnp.zeros((2, LIS_CAP), _I32).at[0, :n_lis0].set(lis_init),
+            rec=jnp.zeros(N + 1, _I32),        # slot N = scratch
+            lsp_ent=jnp.zeros(ENT_CAP, _I32),  # bare node per LSP event
+            lip_cnt=jnp.asarray(n_lip0, _I32),
+            lis_cnt=jnp.asarray(n_lis0, _I32),
+            lsp_cnt=jnp.zeros((), _I32),
+            lipcur=jnp.zeros((), _I32),
+            liscur=jnp.zeros((), _I32),
+            cur=jnp.zeros((), _I32),
+            n=max_n,
+            dead=jnp.zeros((), jnp.bool_),
+            done=jnp.zeros((), jnp.bool_),
+        )
+
+        def plane(st):
+            n = st["n"]
+            base_val = jnp.where(
+                n == 0,
+                jnp.ones((), _I32),
+                jnp.asarray(3, _I32) << jnp.maximum(n - 1, 0),
+            ).astype(_I32)
+            other_lip = 1 - st["lipcur"]
+            other_lis = 1 - st["liscur"]
+
+            # ================= LIP section (parallel) =================
+            nbits_rel = nbits - st["cur"]
+            sect = window(st["cur"], WW, W)
+            iota = jnp.arange(W, dtype=_I32)
+            zpos = jnp.where(~sect, iota, -1)
+            lz = lax.associative_scan(jnp.maximum, zpos)
+            lzs = jnp.concatenate([jnp.full((1,), -1, _I32), lz[:-1]])
+            is_sign = ((iota - 1 - lzs) & 1) == 1
+            is_test = ~is_sign
+            eidx = jnp.cumsum(is_test.astype(_I32)) - 1
+            pos_ok = iota < nbits_rel
+            valid = is_test & (eidx < st["lip_cnt"]) & pos_ok
+            fired = valid & sect
+            sgn = jnp.concatenate([sect[1:], jnp.zeros((1,), jnp.bool_)])
+            sign_ok = (iota + 1) < nbits_rel
+            commit = fired & sign_ok
+            retain = valid & ~sect
+
+            lipbuf = lax.dynamic_index_in_dim(
+                st["lip2"], st["lipcur"], 0, keepdims=False
+            )
+            ent = lipbuf[jnp.clip(eidx, 0, LIP_CAP - 1)]
+            r_rank = jnp.cumsum(retain.astype(_I32)) - 1
+            lip2 = st["lip2"].at[
+                other_lip, jnp.where(retain, r_rank, LIP_CAP - 1)
+            ].set(ent)
+            f_rank = jnp.cumsum(commit.astype(_I32)) - 1
+            lidx = st["lsp_cnt"] + f_rank
+            lsp_ent = st["lsp_ent"].at[
+                jnp.where(commit, lidx, ENT_CAP - 1)
+            ].set(ent)
+            rec = st["rec"].at[
+                jnp.where(commit, jnp.clip(ent, 0, N - 1), N)
+            ].set(jnp.where(sgn, base_val, -base_val))
+            n_valid = jnp.sum(valid, dtype=_I32)
+            n_commit = jnp.sum(commit, dtype=_I32)
+            n_retain = jnp.sum(retain, dtype=_I32)
+            dead = (n_valid < st["lip_cnt"]) | jnp.any(fired & ~sign_ok)
+
+            # ================= LIS worklist (sequential) ==============
+            liscur = st["liscur"]
+
+            def lis_cond(s):
+                return (~s["dead"]) & (s["lis_i"] < s["lis_cnt"])
+
+            def lis_step(s):
+                cur0 = s["cur"]
+                e = s["lis2"][liscur, s["lis_i"]]
+                node = jnp.clip(e >> 1, 0, N - 1)
+                is_a = (e & 1) == 1
+                hc = g["has_child"][node]
+                hg_n = g["hg"][node]
+                c0 = g["child0"][node]
+                children = jnp.clip(
+                    jnp.stack([c0, c0 + 1, c0 + w, c0 + w + 1]), 0, N - 1
+                )
+
+                ok0 = cur0 < nbits
+                b0 = bit_at(cur0) & ok0
+                dead0 = ~ok0
+                a_fired = is_a & b0 & ~dead0
+                run_children = a_fired & hc
+                consumed = cur0 + ok0.astype(_I32)
+                ch_test = []
+                ch_sign = []
+                dead_c = dead0
+                for k in range(4):
+                    uset = run_children & ~dead_c
+                    okt = uset & (consumed < nbits)
+                    bt = bit_at(consumed) & okt
+                    dt = uset & ~okt
+                    consumed = consumed + okt.astype(_I32)
+                    oks = bt & (consumed < nbits) & ~dt
+                    bs = bit_at(consumed) & oks
+                    ds = bt & ~oks & ~dt
+                    consumed = consumed + oks.astype(_I32)
+                    ch_test.append((bt, okt))
+                    ch_sign.append((bs, oks))
+                    dead_c = dead_c | dt | ds
+
+                lsp_ent2 = s["lsp_ent"]
+                rec2 = s["rec"]
+                lip2_2 = s["lip2"]
+                lis2_2 = s["lis2"]
+                lsp_w = s["lsp_cnt"]
+                lip_add = s["lip_add"]
+                for k in range(4):
+                    bt, okt = ch_test[k]
+                    bs, oks = ch_sign[k]
+                    commit_k = bt & oks
+                    lsp_ent2 = lsp_ent2.at[
+                        jnp.where(commit_k, lsp_w, ENT_CAP - 1)
+                    ].set(children[k])
+                    # re-significance of a duplicated cell overwrites
+                    # its refined value with +-base (oracle semantics)
+                    rec2 = rec2.at[
+                        jnp.where(commit_k, children[k], N)
+                    ].set(jnp.where(bs, base_val, -base_val))
+                    lsp_w = lsp_w + commit_k.astype(_I32)
+                    insig = okt & ~bt
+                    lip2_2 = lip2_2.at[
+                        other_lip,
+                        jnp.where(insig, s["lip_w"] + lip_add, LIP_CAP - 1),
+                    ].set(children[k])
+                    lip_add = lip_add + insig.astype(_I32)
+
+                # retained entry -> other buffer
+                lis_retain = ok0 & ~b0
+                lis2_2 = lis2_2.at[
+                    other_lis,
+                    jnp.where(lis_retain, s["lis_w"], LIS_CAP - 1),
+                ].set(e)
+                lis_w = s["lis_w"] + lis_retain.astype(_I32)
+                # A fire -> B re-entry at live tail (after children fully
+                # consumed, matching reference order under truncation)
+                lis_tail = s["lis_cnt"]
+                reapp = a_fired & hg_n & ~dead_c
+                lis2_2 = lis2_2.at[
+                    liscur, jnp.where(reapp, lis_tail, LIS_CAP - 1)
+                ].set(node << 1)
+                lis_tail = lis_tail + reapp.astype(_I32)
+                # B fire -> 4 A-children at live tail
+                b_fired = (~is_a) & b0 & ok0 & hc
+                for k in range(4):
+                    lis2_2 = lis2_2.at[
+                        liscur, jnp.where(b_fired, lis_tail, LIS_CAP - 1)
+                    ].set((children[k] << 1) | 1)
+                    lis_tail = lis_tail + b_fired.astype(_I32)
+
+                return dict(
+                    lip2=lip2_2, lis2=lis2_2, lsp_ent=lsp_ent2,
+                    rec=rec2, lsp_cnt=lsp_w,
+                    lip_w=s["lip_w"], lip_add=lip_add,
+                    lis_i=s["lis_i"] + 1, lis_w=lis_w, lis_cnt=lis_tail,
+                    cur=consumed, dead=s["dead"] | dead_c,
+                )
+
+            s2 = lax.while_loop(
+                lis_cond, lis_step,
+                dict(
+                    lip2=lip2, lis2=st["lis2"], lsp_ent=lsp_ent,
+                    rec=rec, lsp_cnt=st["lsp_cnt"] + n_commit,
+                    lip_w=n_retain, lip_add=jnp.zeros((), _I32),
+                    lis_i=jnp.zeros((), _I32), lis_w=jnp.zeros((), _I32),
+                    lis_cnt=st["lis_cnt"],
+                    cur=st["cur"] + n_valid + n_commit,
+                    dead=dead,
+                ),
+            )
+
+            # ================= refinement (parallel) ==================
+            # snapshot: only cells significant BEFORE this plane refine.
+            # Gather old values from the shared rec, set/clear bit n
+            # keeping the sign, scatter back: duplicate LSP instances of
+            # one cell gather the same old value and the same stream bit
+            # (the encoder emits the actual coefficient bit for every
+            # instance), so the scatter is value-unique.
+            ref_len = st["lsp_cnt"]
+            alive = ~s2["dead"]
+            nbits_rel2 = nbits - s2["cur"]
+            rsect = window(s2["cur"], RWW, RW)
+            rbits = jnp.zeros(ENT_CAP, jnp.bool_).at[:RW].set(
+                rsect[:ENT_CAP]
+            )
+            tiota = jnp.arange(ENT_CAP, dtype=_I32)
+            valid_t = alive & (tiota < ref_len) & (tiota < nbits_rel2)
+            nodes = jnp.clip(s2["lsp_ent"], 0, N - 1)
+            old = s2["rec"][nodes]
+            bitmask = jnp.asarray(1, _I32) << n
+            nmag = (jnp.abs(old) & ~bitmask) | (rbits.astype(_I32) << n)
+            nval = jnp.where(old >= 0, nmag, -nmag)
+            rec3 = s2["rec"].at[jnp.where(valid_t, nodes, N)].set(nval)
+            dead_ref = alive & (ref_len > nbits_rel2)
+            dead3 = s2["dead"] | dead_ref
+            cur3 = s2["cur"] + jnp.minimum(
+                ref_len, jnp.maximum(nbits_rel2, 0)
+            )
+
+            return dict(
+                lip2=s2["lip2"], lis2=s2["lis2"],
+                lsp_ent=s2["lsp_ent"], rec=rec3,
+                lip_cnt=s2["lip_w"] + s2["lip_add"],
+                lis_cnt=s2["lis_w"],
+                lsp_cnt=s2["lsp_cnt"],
+                lipcur=other_lip, liscur=other_lis,
+                cur=cur3, n=jnp.maximum(n - 1, 0),
+                dead=dead3,
+                done=st["done"] | ((~dead3) & (n == 0)),
+            )
+
+        out = lax.while_loop(
+            lambda s: ~(s["dead"] | s["done"]), plane, st
+        )
+        return out["rec"][:N].reshape(c, h, w)
+
+    return decode
+
+
 @lru_cache(maxsize=None)
 def decode_device_fn(
     c: int,
@@ -522,6 +853,8 @@ def decode_device_fn(
     rect_tab: Optional[Tuple] = None,
     meta_rows: int = 0,
 ):
+    if meta_rows == 0:
+        return jax.jit(_build_hybrid(c, h, w, ll_h, ll_w, cap_words))
     return jax.jit(
         _build_decoder(
             c, h, w, ll_h, ll_w, level, rect_tab, cap_words, meta_rows
@@ -548,7 +881,7 @@ def decode_device(
     nbits = len(data) * 8
     cap_words = max((nbits + 31) // 32, 1)
     fn = decode_device_fn(c, h, w, ll_h, ll_w, cap_words)
-    rec, _ = fn(_words_of(data, cap_words), nbits, int(n))
+    rec = fn(_words_of(data, cap_words), nbits, int(n))
     return np.asarray(rec)
 
 
@@ -586,7 +919,7 @@ def decode_device_with_metadata(
 
 @lru_cache(maxsize=None)
 def _decode_batch_fn(c, h, w, ll_h, ll_w, cap_words):
-    fn = _build_decoder(c, h, w, ll_h, ll_w, 0, None, cap_words, 0)
+    fn = _build_hybrid(c, h, w, ll_h, ll_w, cap_words)
     return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0)))
 
 
@@ -613,7 +946,7 @@ def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
         ).view(np.uint32)
         nbits[i] = len(d) * 8
     fn = _decode_batch_fn(c, h, w, ll_h, ll_w, cap_words)
-    rec, _ = fn(
+    rec = fn(
         jnp.asarray(words), jnp.asarray(nbits),
         jnp.asarray(np.asarray(ns, np.int32)),
     )

@@ -438,13 +438,13 @@ def _decode_impl(bits, n, c, h, w, ll_h, ll_w, slices):
                         cfilt = _offspring_filter(filt, i, j)
                         if off:
                             for l, m in off:
-                                note(3, k, l, m, cfilt, depth - 1)
+                                note(3, k, l, m, cfilt, max(depth - 1, 0))
                                 if pop():
-                                    note(4, k, l, m, cfilt, depth - 1)
+                                    note(4, k, l, m, cfilt, max(depth - 1, 0))
                                     rec[k, l, m] = base_val(pop())
-                                    lsp.append((k, l, m, cfilt, depth - 1))
+                                    lsp.append((k, l, m, cfilt, max(depth - 1, 0)))
                                 else:
-                                    lip.append((k, l, m, cfilt, depth - 1))
+                                    lip.append((k, l, m, cfilt, max(depth - 1, 0)))
                         if _has_grandchildren(i, j, h, w):
                             lis.append((False, k, i, j, filt, depth))
                     else:
@@ -456,7 +456,7 @@ def _decode_impl(bits, n, c, h, w, ll_h, ll_w, slices):
                         cfilt = _offspring_filter(filt, i, j)
                         if off:
                             for l, m in off:
-                                lis.append((True, k, l, m, cfilt, depth - 1))
+                                lis.append((True, k, l, m, cfilt, max(depth - 1, 0)))
                     else:
                         lis_retain.append((t, k, i, j, filt, depth))
             lis = lis_retain

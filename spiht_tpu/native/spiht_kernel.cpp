@@ -614,6 +614,128 @@ static inline void local_position(const MetaCtx& mc, const Entry& e, int* lh,
     *lw = (int)(fw * 200000.f - 100000.f);
 }
 
+// Plain-decode fast path (no metadata trace). Mirrors the generic loop's
+// wire semantics exactly, with the same layout insight as encode_fast:
+// entries reduce to flat indices (LIP/LSP never need (i,j,filter,depth)
+// once metadata is off), halving queue traffic. Values are written to the
+// shared rec array in place — NOT per-LSP-entry running values: in
+// non-dyadic geometries two LIS parents can own the same child
+// (overlapping offspring), so a cell can enter LSP twice, and the oracle
+// semantics (encoder_decoder.rs-style in-place refinement) make every
+// duplicate's refinement bit land on the one shared cell. Truncation at
+// any bit returns the partial reconstruction (reference pop_bit
+// semantics).
+static int decode_fast(const uint8_t* data, long long nbits, int n_start,
+                       int c, int h, int w, int ll_h, int ll_w,
+                       int32_t* rec) {
+    const Geo g{h, w, ll_h, ll_w};
+    const long long plane = (long long)h * w;
+    std::memset(rec, 0, sizeof(int32_t) * (long long)c * plane);
+    BitReader br{data, nbits};
+
+    std::vector<long long> lip, lip_next;
+    std::vector<long long> lsp_idx;
+    std::vector<Entry> lis, lis_next;
+    std::vector<uint8_t> lis_type, lis_type_next;
+    lip.reserve(2 * (size_t)c * ll_h * ll_w);
+    for (int i = 0; i < ll_h; i++)
+        for (int j = 0; j < ll_w; j++)
+            for (int k = 0; k < c; k++)
+                lip.push_back((long long)k * plane + (long long)i * w + j);
+    for (int i = 0; i < ll_h; i++)
+        for (int j = 0; j < ll_w; j++) {
+            if ((i & 1) == 0 && (j & 1) == 0) continue;
+            for (int k = 0; k < c; k++) {
+                lis.push_back({i, j, (int16_t)k, 0, 0});
+                lis_type.push_back(1);
+            }
+        }
+
+    {
+        int n = n_start;
+        int off[8];
+        #define POP_BIT_F(var)                                               \
+            bool var;                                                        \
+            do {                                                             \
+                if (br.done()) return 0;                                     \
+                var = br.pop();                                              \
+            } while (0)
+        for (;;) {
+            const size_t lsp_len = lsp_idx.size();
+            const int32_t base =
+                n == 0 ? 1 : (int32_t)((1u << (n - 1)) + (1u << n));
+
+            lip_next.clear();
+            for (const long long idx : lip) {
+                POP_BIT_F(sig);
+                if (sig) {
+                    POP_BIT_F(sbit);
+                    rec[idx] = sbit ? base : -base;
+                    lsp_idx.push_back(idx);
+                } else {
+                    lip_next.push_back(idx);
+                }
+            }
+            std::swap(lip, lip_next);
+
+            lis_next.clear();
+            lis_type_next.clear();
+            for (size_t qi = 0; qi < lis.size(); qi++) {
+                const Entry e = lis[qi];
+                if (lis_type[qi]) {
+                    POP_BIT_F(desc_sig);
+                    if (desc_sig) {
+                        const int nn = offspring(g, e.i, e.j, off);
+                        for (int q = 0; q < nn; q++) {
+                            const long long cidx = (long long)e.k * plane +
+                                (long long)off[2 * q] * w + off[2 * q + 1];
+                            POP_BIT_F(sig);
+                            if (sig) {
+                                POP_BIT_F(sbit);
+                                rec[cidx] = sbit ? base : -base;
+                                lsp_idx.push_back(cidx);
+                            } else {
+                                lip.push_back(cidx);
+                            }
+                        }
+                        if (has_grandchildren(g, e.i, e.j)) {
+                            lis.push_back(e);
+                            lis_type.push_back(0);
+                        }
+                    } else {
+                        lis_next.push_back(e);
+                        lis_type_next.push_back(1);
+                    }
+                } else {
+                    POP_BIT_F(l_sig);
+                    if (l_sig) {
+                        const int nn = offspring(g, e.i, e.j, off);
+                        for (int q = 0; q < nn; q++) {
+                            lis.push_back({off[2 * q], off[2 * q + 1], e.k, 0, 0});
+                            lis_type.push_back(1);
+                        }
+                    } else {
+                        lis_next.push_back(e);
+                        lis_type_next.push_back(0);
+                    }
+                }
+            }
+            std::swap(lis, lis_next);
+            std::swap(lis_type, lis_type_next);
+
+            for (size_t t = 0; t < lsp_len; t++) {
+                POP_BIT_F(bit);
+                rec[lsp_idx[t]] = set_bit_keep_sign(rec[lsp_idx[t]], n, bit);
+            }
+
+            if (n == 0) break;
+            n--;
+        }
+        #undef POP_BIT_F
+    }
+    return 0;
+}
+
 int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
                  int h, int w, int ll_h, int ll_w, int32_t* rec,
                  int with_meta, int32_t* meta, const int32_t* top_slice,
@@ -623,6 +745,8 @@ int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
     // (e.g. level-0 "pyramids") where that exceeds the array — the
     // reference would panic on the same out-of-bounds index
     if (2 * ll_h > h || 2 * ll_w > w) return -1;
+    if (!with_meta)
+        return decode_fast(data, nbits, n_start, c, h, w, ll_h, ll_w, rec);
     const Geo g{h, w, ll_h, ll_w};
     const long long plane = (long long)h * w;
     std::memset(rec, 0, sizeof(int32_t) * (long long)c * plane);
@@ -712,9 +836,14 @@ int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
                 if (desc_sig) {
                     const int nn = offspring(g, e.i, e.j, off);
                     const int8_t cf = offspring_filter(e.filter, e.i, e.j);
+                    // child depth clamps at 0: odd-LL overlap chains can
+                    // be longer than the nominal level (the reference
+                    // would panic indexing slices[level-1-depth] there;
+                    // we define clamped metadata semantics, same as the
+                    // oracle and the device decoder)
                     for (int q = 0; q < nn; q++) {
                         Entry ce{off[2 * q], off[2 * q + 1], e.k, cf,
-                                 (int8_t)(e.depth - 1)};
+                                 (int8_t)(e.depth > 0 ? e.depth - 1 : 0)};
                         NOTE(3, ce);
                         POP_BIT(sig);
                         if (sig) {
@@ -744,7 +873,7 @@ int spiht_decode(const uint8_t* data, long long nbits, int n_start, int c,
                     const int8_t cf = offspring_filter(e.filter, e.i, e.j);
                     for (int q = 0; q < nn; q++) {
                         lis.push_back({off[2 * q], off[2 * q + 1], e.k, cf,
-                                       (int8_t)(e.depth - 1)});
+                                       (int8_t)(e.depth > 0 ? e.depth - 1 : 0)});
                         lis_type.push_back(1);
                     }
                 } else {

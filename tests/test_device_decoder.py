@@ -154,3 +154,63 @@ def test_device_decoder_batch(rng):
     for b in range(4):
         want = nat.decode(datas[b], ns[b], 1, 16, 16, 4, 4)
         np.testing.assert_array_equal(recs[b], want, err_msg=str(b))
+
+
+def test_device_decoder_bit_granular_truncation_fuzz(rng):
+    """Byte prefixes chosen to land inside every plane phase (LIP test,
+    LIP sign, LIS cascade, refinement) — the hybrid decoder's parallel
+    LIP/refinement sections must reproduce the sequential machine's
+    mid-entry death semantics exactly."""
+    nat = runtime.load()
+    arr = (rng.standard_normal((1, 24, 24)) * 2000).astype(np.int32)
+    data, mn = _encode(arr, 6, 6)
+    for nb in range(0, min(len(data), 160), 3):
+        prefix = data[:nb]
+        want = nat.decode(prefix, mn, 1, 24, 24, 6, 6)
+        got = decode_device(prefix, mn, 1, 24, 24, 6, 6)
+        np.testing.assert_array_equal(got, want, err_msg=f"nb={nb}")
+
+
+def test_device_decoder_odd_ll_duplicate_parents_truncation(rng):
+    """Odd LL dims overlap the parity offspring map: a cell can have up
+    to 4 parents and enter LSP more than once. Decode must keep shared
+    per-cell state (in-place refinement + re-significance overwrite,
+    oracle semantics) — per-entry running values diverge under
+    mid-refinement truncation. Dense magnitudes force duplicate LSP
+    events past the naive N bound, exercising the multiplicity-exact
+    queue capacities."""
+    nat = runtime.load()
+    arr = (rng.standard_normal((1, 12, 12)) * 60000 + 4096).astype(
+        np.int32
+    )
+    data, mn = _encode(arr, 3, 3)
+    for nb in range(0, len(data) + 1, 2):
+        prefix = data[:nb]
+        want = nat.decode(prefix, mn, 1, 12, 12, 3, 3)
+        got = decode_device(prefix, mn, 1, 12, 12, 3, 3)
+        np.testing.assert_array_equal(got, want, err_msg=f"nb={nb}")
+
+
+def test_device_decoder_odd_ll_metadata_depth_clamp(rng):
+    """Overlap chains can be longer than the nominal level; child depth
+    clamps at 0 (defined semantics — the reference would panic indexing
+    slices[level-1-depth]). Native and device must agree on the trace."""
+    nat = runtime.load()
+    c, h, w, llh, llw = 1, 12, 12, 3, 3
+    arr = (rng.standard_normal((c, h, w)) * 5000).astype(np.int32)
+    data, mn = _encode(arr, llh, llw)
+    top = ((0, llh), (0, llw))
+    other = (
+        (((3, 6), (0, 3)), ((0, 3), (3, 6)), ((3, 6), (3, 6))),
+        (((6, 12), (0, 6)), ((0, 6), (6, 12)), ((6, 12), (6, 12))),
+    )
+    for nb in [3, 17, 60, len(data)]:
+        prefix = data[:nb]
+        wr, wm = nat.decode_with_metadata(
+            prefix, mn, c, h, w, llh, llw, top, other
+        )
+        gr, gm = decode_device_with_metadata(
+            prefix, mn, c, h, w, llh, llw, top, other
+        )
+        np.testing.assert_array_equal(gr, wr, err_msg=f"nb={nb}")
+        np.testing.assert_array_equal(gm, wm, err_msg=f"nb={nb}")
