@@ -587,6 +587,10 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
     LIP_CAP = g["ent_bound"] + 1
     ENT_CAP = g["ent_bound"] + 1
     LIS_CAP = 2 * g["lis_bound"] + 1
+    # bulk-retention block width; buffers padded by KB so the block
+    # dynamic-slices never clamp (slot LIS_BUF-1 is the write scratch)
+    KB = 128
+    LIS_BUF = LIS_CAP + KB
     # LIP-section window: <= 2 entries' bits per LIP slot, and never more
     # than the whole (padded) stream
     W = int(min(2 * g["ent_bound"] + 2, cap_words * 32))
@@ -619,7 +623,7 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
 
         st = dict(
             lip2=jnp.zeros((2, LIP_CAP), _I32).at[0, :n_lip0].set(lip_init),
-            lis2=jnp.zeros((2, LIS_CAP), _I32).at[0, :n_lis0].set(lis_init),
+            lis2=jnp.zeros((2, LIS_BUF), _I32).at[0, :n_lis0].set(lis_init),
             rec=jnp.zeros(N + 1, _I32),        # slot N = scratch
             lsp_ent=jnp.zeros(ENT_CAP, _I32),  # bare node per LSP event
             lip_cnt=jnp.asarray(n_lip0, _I32),
@@ -682,7 +686,14 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
             n_retain = jnp.sum(retain, dtype=_I32)
             dead = (n_valid < st["lip_cnt"]) | jnp.any(fired & ~sign_ok)
 
-            # ================= LIS worklist (sequential) ==============
+            # ============ LIS worklist (run-skipping machine) =========
+            # A non-fired LIS entry consumes exactly one 0-bit, so the
+            # prefix of the worklist up to the next 1-bit is a
+            # fixed-stride grammar: classify a KB-wide block in one
+            # vector read and bulk-retain it (two dynamic slices + one
+            # update). The sequential body only ever runs on FIRED
+            # entries (whose child cascades splice same-pass bits) —
+            # iterations scale with fires, not worklist length.
             liscur = st["liscur"]
 
             def lis_cond(s):
@@ -690,7 +701,37 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
 
             def lis_step(s):
                 cur0 = s["cur"]
-                e = s["lis2"][liscur, s["lis_i"]]
+                kio = jnp.arange(KB, dtype=_I32)
+                pos = cur0 + kio
+                wk = words[jnp.clip(pos >> 5, 0, cap_words - 1)]
+                bitsk = ((wk >> (pos & 31).astype(jnp.uint32)) & 1) == 1
+                validk = kio < (s["lis_cnt"] - s["lis_i"])
+                okk = pos < nbits
+                stop = bitsk | ~okk | ~validk
+                f = jnp.min(jnp.where(stop, kio, KB))
+                src = lax.dynamic_slice(
+                    s["lis2"], (liscur, s["lis_i"]), (1, KB)
+                )[0]
+                dst = lax.dynamic_slice(
+                    s["lis2"], (other_lis, s["lis_w"]), (1, KB)
+                )[0]
+                lis2_2 = lax.dynamic_update_slice(
+                    s["lis2"],
+                    jnp.where(kio < f, src, dst)[None, :],
+                    (other_lis, s["lis_w"]),
+                )
+                lis_i1 = s["lis_i"] + f
+                lis_w = s["lis_w"] + f
+                cur1 = cur0 + f
+                has_e = lis_i1 < s["lis_cnt"]
+                ok0 = cur1 < nbits
+                blocked = f < KB
+                # stop[f] with a live entry and a live bit => the bit is
+                # set: the blocker FIRED (retention is bulk-only)
+                proc = blocked & has_e & ok0
+                dead0 = blocked & has_e & ~ok0
+
+                e = lis2_2[liscur, jnp.clip(lis_i1, 0, LIS_BUF - 1)]
                 node = jnp.clip(e >> 1, 0, N - 1)
                 is_a = (e & 1) == 1
                 hc = g["has_child"][node]
@@ -700,12 +741,9 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                     jnp.stack([c0, c0 + 1, c0 + w, c0 + w + 1]), 0, N - 1
                 )
 
-                ok0 = cur0 < nbits
-                b0 = bit_at(cur0) & ok0
-                dead0 = ~ok0
-                a_fired = is_a & b0 & ~dead0
+                a_fired = is_a & proc
                 run_children = a_fired & hc
-                consumed = cur0 + ok0.astype(_I32)
+                consumed = cur1 + proc.astype(_I32)
                 ch_test = []
                 ch_sign = []
                 dead_c = dead0
@@ -726,7 +764,6 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                 lsp_ent2 = s["lsp_ent"]
                 rec2 = s["rec"]
                 lip2_2 = s["lip2"]
-                lis2_2 = s["lis2"]
                 lsp_w = s["lsp_cnt"]
                 lip_add = s["lip_add"]
                 for k in range(4):
@@ -749,26 +786,19 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                     ].set(children[k])
                     lip_add = lip_add + insig.astype(_I32)
 
-                # retained entry -> other buffer
-                lis_retain = ok0 & ~b0
-                lis2_2 = lis2_2.at[
-                    other_lis,
-                    jnp.where(lis_retain, s["lis_w"], LIS_CAP - 1),
-                ].set(e)
-                lis_w = s["lis_w"] + lis_retain.astype(_I32)
                 # A fire -> B re-entry at live tail (after children fully
                 # consumed, matching reference order under truncation)
                 lis_tail = s["lis_cnt"]
                 reapp = a_fired & hg_n & ~dead_c
                 lis2_2 = lis2_2.at[
-                    liscur, jnp.where(reapp, lis_tail, LIS_CAP - 1)
+                    liscur, jnp.where(reapp, lis_tail, LIS_BUF - 1)
                 ].set(node << 1)
                 lis_tail = lis_tail + reapp.astype(_I32)
                 # B fire -> 4 A-children at live tail
-                b_fired = (~is_a) & b0 & ok0 & hc
+                b_fired = (~is_a) & proc & hc
                 for k in range(4):
                     lis2_2 = lis2_2.at[
-                        liscur, jnp.where(b_fired, lis_tail, LIS_CAP - 1)
+                        liscur, jnp.where(b_fired, lis_tail, LIS_BUF - 1)
                     ].set((children[k] << 1) | 1)
                     lis_tail = lis_tail + b_fired.astype(_I32)
 
@@ -776,7 +806,8 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                     lip2=lip2_2, lis2=lis2_2, lsp_ent=lsp_ent2,
                     rec=rec2, lsp_cnt=lsp_w,
                     lip_w=s["lip_w"], lip_add=lip_add,
-                    lis_i=s["lis_i"] + 1, lis_w=lis_w, lis_cnt=lis_tail,
+                    lis_i=lis_i1 + proc.astype(_I32),
+                    lis_w=lis_w, lis_cnt=lis_tail,
                     cur=consumed, dead=s["dead"] | dead_c,
                 )
 
