@@ -209,6 +209,13 @@ def main() -> None:
         result[f"device_encode_mpps_{BPP}bpp{suffix}"] = device.get(
             f"mpps_{BPP}bpp"
         )
+        if device.get(f"mpps_dec_{BPP}bpp") is not None:
+            result[f"device_decode_mpps_{BPP}bpp{suffix}"] = device.get(
+                f"mpps_dec_{BPP}bpp"
+            )
+            result[f"device_decode_mpps_full{suffix}"] = device.get(
+                "mpps_dec_full"
+            )
         result["device_encode_geom"] = device.get("geom")
         result["device_encode_backend"] = device.get("backend")
         if suffix:

@@ -129,10 +129,101 @@ def main() -> None:
         out[f"mpps_dec_{tag}"] = round(mpps, 3)
         out[f"ms_dec_{tag}"] = round(med * 1e3, 1)
         out[f"exact_dec_{tag}"] = exact
-    # persist for bench.py: on tunneled dev chips the first remote
-    # compile (~400 s) rarely fits the driver's benchmark window, so the
-    # last successful hardware measurement is reported (clearly labeled
-    # with the commit it was measured at)
+
+    # ---- batched decode lane (opt-in: pass a 4th arg "batch=B"):
+    # B lockstep vmapped hybrid machines over same-geometry streams
+    batch = 0
+    for a in sys.argv[4:]:
+        if a.startswith("batch="):
+            batch = int(a.split("=")[1])
+    if batch:
+        try:
+            _batch_lane(
+                batch, bpp, h_in, w_in, im, settings, level, nat, c, h,
+                w, llh, llw, out,
+            )
+        except Exception as exc:
+            log(f"batch decode lane failed: {type(exc).__name__}: {exc}")
+    # only the headline config refreshes the bench.py fallback cache
+    if (h_in, w_in, level) == (512, 512, 6):
+        _persist(out)
+    print(json.dumps(out))
+
+
+def _batch_lane(batch, bpp, h_in, w_in, im, settings, level, nat, c, h,
+                w, llh, llw, out):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spiht_tpu import transform
+    from spiht_tpu.codec.device_decoder import _decode_batch_fn
+
+    mb = int(round(bpp * h_in * w_in))
+    datas = []
+    for b in range(batch):
+        im_b = np.clip(
+            im + 0.03 * np.random.default_rng(b).standard_normal(
+                im.shape
+            ),
+            0,
+            1,
+        )
+        arr_b, _, _ = transform.forward_numpy(im_b, settings, level)
+        d, n_b = nat.encode(arr_b.astype(np.int32), llh, llw, mb)
+        datas.append((d, n_b, arr_b))
+    cap_words = max((max(len(d) for d, _, _ in datas) + 3) // 4, 1)
+    words = np.zeros((batch, cap_words), np.uint32)
+    nbits_a = np.zeros(batch, np.int32)
+    ns_a = np.zeros(batch, np.int32)
+    for b, (d, n_b, _) in enumerate(datas):
+        raw = np.frombuffer(d, dtype=np.uint8)
+        words[b, : (raw.size + 3) // 4] = np.pad(
+            raw, (0, -raw.size % 4)
+        ).view(np.uint32)
+        nbits_a[b] = len(d) * 8
+        ns_a[b] = n_b
+    bfn = _decode_batch_fn(c, h, w, llh, llw, cap_words)
+    jw = jax.device_put(jnp.asarray(words))
+    jn = jax.device_put(jnp.asarray(nbits_a))
+    jns = jax.device_put(jnp.asarray(ns_a))
+    t0 = time.perf_counter()
+    recs = bfn(jw, jn, jns)
+    jax.block_until_ready(recs)
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        recs = bfn(jw, jn, jns)
+        jax.block_until_ready(recs)
+        ts.append(time.perf_counter() - t1)
+    med = sorted(ts)[1]
+    mpps = batch * c * h * w / 1e6 / med
+    recs_h = np.asarray(recs)
+    exact = all(
+        np.array_equal(
+            recs_h[b],
+            nat.decode(d, n_b, c, h, w, llh, llw),
+        )
+        for b, (d, n_b, _) in enumerate(datas)
+    )
+    log(f"decode batch={batch} @{bpp}bpp: first {compile_s:.1f}s, "
+        f"median {med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate, "
+        f"{med*1e3/batch:.0f} ms/stream, exact={exact}")
+    out["batch"] = batch
+    out[f"mpps_dec_batch{batch}"] = round(mpps, 3)
+    out[f"exact_dec_batch{batch}"] = exact
+
+
+def _persist(out):
+    """Record for bench.py: on tunneled dev chips the first remote
+    compile (~400 s) rarely fits the driver's benchmark window, so the
+    last successful hardware measurement is reported (clearly labeled
+    with the commit it was measured at)."""
+    import json
+
     try:
         import subprocess
 
@@ -146,7 +237,6 @@ def main() -> None:
             json.dump(out, f)
     except Exception as e:
         log(f"cache write failed: {e}")
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

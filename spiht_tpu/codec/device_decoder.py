@@ -600,6 +600,12 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
 
     lip_init = jnp.asarray(g["lip_init"])              # bare nodes
     lis_init = (jnp.asarray(g["lis_init"]) << 1) | 1   # node<<1 | typeA
+    # per-node geometry packed into one word (child0 fits: N < 2^24)
+    geo_pack = (
+        jnp.asarray(g["child0"])
+        | (g["has_child"].astype(_I32) << 24)
+        | (g["hg"].astype(_I32) << 25)
+    )
     n_lip0 = int(lip_init.shape[0])
     n_lis0 = int(lis_init.shape[0])
     PADW = cap_words + max(WW, RWW) + 2
@@ -731,15 +737,32 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                 proc = blocked & has_e & ok0
                 dead0 = blocked & has_e & ~ok0
 
-                e = lis2_2[liscur, jnp.clip(lis_i1, 0, LIS_BUF - 1)]
+                # the blocker entry is lane f of the already-read block
+                e = jnp.take(src, jnp.clip(f, 0, KB - 1))
                 node = jnp.clip(e >> 1, 0, N - 1)
                 is_a = (e & 1) == 1
-                hc = g["has_child"][node]
-                hg_n = g["hg"][node]
-                c0 = g["child0"][node]
+                # one packed-geometry gather instead of three
+                gp = geo_pack[node]
+                hc = (gp & (1 << 24)) != 0
+                hg_n = (gp & (1 << 25)) != 0
+                c0 = gp & 0xFFFFFF
                 children = jnp.clip(
                     jnp.stack([c0, c0 + 1, c0 + w, c0 + w + 1]), 0, N - 1
                 )
+
+                # the whole fired cascade (<= 9 bits) sits in a 2-word
+                # funnel-shifted window: bit reads become scalar
+                # shift/and ops instead of 9 sequential gathers
+                s_sh = (cur1 & 31).astype(jnp.uint32)
+                wi = jnp.clip(cur1 >> 5, 0, cap_words - 1)
+                w0 = words[wi]
+                w1 = words[jnp.clip(wi + 1, 0, cap_words - 1)]
+                win = (w0 >> s_sh) | jnp.where(
+                    s_sh == 0, jnp.uint32(0), w1 << (32 - s_sh)
+                )
+
+                def wbit(p):
+                    return ((win >> (p - cur1).astype(jnp.uint32)) & 1) == 1
 
                 a_fired = is_a & proc
                 run_children = a_fired & hc
@@ -750,11 +773,11 @@ def _build_hybrid(c: int, h: int, w: int, ll_h: int, ll_w: int,
                 for k in range(4):
                     uset = run_children & ~dead_c
                     okt = uset & (consumed < nbits)
-                    bt = bit_at(consumed) & okt
+                    bt = wbit(consumed) & okt
                     dt = uset & ~okt
                     consumed = consumed + okt.astype(_I32)
                     oks = bt & (consumed < nbits) & ~dt
-                    bs = bit_at(consumed) & oks
+                    bs = wbit(consumed) & oks
                     ds = bt & ~oks & ~dt
                     consumed = consumed + oks.astype(_I32)
                     ch_test.append((bt, okt))
