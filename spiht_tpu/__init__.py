@@ -20,6 +20,7 @@ from .settings import ENCODER_DECODER_VERSION, EncodingResult, SpihtSettings
 from .codec.api import (
     decode,
     decode_image,
+    decode_image_device,
     decode_rec_array,
     decode_from_rec_arr,
     decode_with_metadata,
@@ -39,6 +40,7 @@ __all__ = [
     "decode_with_metadata",
     "encode_image",
     "decode_image",
+    "decode_image_device",
     "encode_images",
     "decode_images",
     "decode_rec_array",

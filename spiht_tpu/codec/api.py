@@ -30,6 +30,7 @@ __all__ = [
     "decode_images",
     "decode_rec_array",
     "decode_from_rec_arr",
+    "decode_image_device",
     "get_slices_and_h_w",
 ]
 
@@ -520,6 +521,44 @@ def decode_from_rec_arr(
 ) -> np.ndarray:
     """Un-quantize + inverse DWT + inverse color (reference CS2, 2nd half)."""
     return transform.inverse(rec_arr, h, w, level, spiht_settings, slices)
+
+
+def decode_image_device(
+    encoding_result: EncodingResult,
+    spiht_settings: SpihtSettings,
+    as_uint8: bool = False,
+) -> np.ndarray:
+    """Decode an EncodingResult entirely on device, as ONE XLA program.
+
+    SPIHT bit-parse (hybrid plane-phase machine) -> dequantize ->
+    inverse DWT -> inverse color conversion, fused: stream words go up
+    (host->device is the fast direction), the finished image comes back
+    (or stays in HBM for an on-chip consumer — pass the returned jax
+    array onward instead of materializing it). The serving-path mirror
+    of `decode_image`; bit-parse identical to the native kernel, image
+    equal to the host inverse transform at matching dtype.
+    """
+    from .. import jax_transform
+    from .device_decoder import _words_of
+
+    if encoding_result._encoding_version != ENCODER_DECODER_VERSION:
+        raise ValueError(encoding_result._encoding_version)
+    h, w, c = encoding_result.h, encoding_result.w, encoding_result.c
+    slices, enc_h, enc_w = get_slices_and_h_w(
+        h, w, spiht_settings, encoding_result.level
+    )
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    data = encoding_result.encoded_bytes
+    nbits = len(data) * 8
+    cap_words = max((nbits + 31) // 32, 1)
+    fn = jax_transform.decode_pipeline_fn(
+        spiht_settings, h, w, encoding_result.level, c, enc_h, enc_w,
+        ll_h, ll_w, cap_words, as_uint8=as_uint8,
+    )
+    image = fn(
+        _words_of(data, cap_words), nbits, int(encoding_result.max_n)
+    )
+    return np.asarray(image)
 
 
 def decode_image(

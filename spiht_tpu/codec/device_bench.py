@@ -130,6 +130,37 @@ def main() -> None:
         out[f"ms_dec_{tag}"] = round(med * 1e3, 1)
         out[f"exact_dec_{tag}"] = exact
 
+    # ---- fused pipeline lane: stream words -> uint8 image, one program
+    # (bit-parse + dequantize + inverse DWT + inverse color on device)
+    try:
+        from spiht_tpu import jax_transform
+
+        mb = int(round(bpp * h_in * w_in))
+        data, dmn = nat.encode(arr, llh, llw, mb)
+        nbits = len(data) * 8
+        cap_words = max((nbits + 31) // 32, 1)
+        pfn = jax_transform.decode_pipeline_fn(
+            settings, h_in, w_in, level, c, h, w, llh, llw, cap_words,
+            dtype="float32", as_uint8=True,
+        )
+        jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
+        t0 = time.perf_counter()
+        img = pfn(jw, nbits, dmn)
+        jax.block_until_ready(img)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            img = pfn(jw, nbits, dmn)
+            jax.block_until_ready(img)
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        log(f"decode pipeline {bpp}bpp -> uint8 image: first "
+            f"{compile_s:.1f}s, median {med*1e3:.0f} ms")
+        out[f"ms_pipeline_{bpp}bpp"] = round(med * 1e3, 1)
+    except Exception as exc:
+        log(f"pipeline lane failed: {type(exc).__name__}: {exc}")
+
     # ---- batched decode lane (opt-in: pass a 4th arg "batch=B"):
     # B lockstep vmapped hybrid machines over same-geometry streams
     batch = 0

@@ -36,6 +36,7 @@ __all__ = [
     "inverse",
     "analysis_fn",
     "synthesis_fn",
+    "decode_pipeline_fn",
     "default_dtype",
 ]
 
@@ -219,6 +220,61 @@ def synthesis_fn(
     return _inverse_jit(
         _settings_key(settings), h, w, level, str(np.dtype(dtype).name),
         as_uint8,
+    )
+
+
+@lru_cache(maxsize=None)
+def _decode_pipeline_jit(
+    key: Tuple,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    enc_h: int,
+    enc_w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    dtype_name: str,
+    as_uint8: bool,
+):
+    from .codec.device_decoder import _build_hybrid
+
+    dec = _build_hybrid(c, enc_h, enc_w, ll_h, ll_w, cap_words)
+    inv = _inverse_jit(key, h, w, level, dtype_name, as_uint8)
+
+    def f(words, nbits, max_n):
+        return inv(dec(words, nbits, max_n))
+
+    return jax.jit(f)
+
+
+def decode_pipeline_fn(
+    settings: SpihtSettings,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    enc_h: int,
+    enc_w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    dtype: Optional[str] = None,
+    as_uint8: bool = False,
+):
+    """ONE jitted program for the whole decode: SPIHT bit-parse (hybrid
+    plane-phase machine) -> dequantize -> inverse DWT -> inverse color.
+
+    Stream words in HBM -> image in HBM, no host round-trip — the
+    decode mirror of `analysis_fn` + the device encoder, i.e. the
+    serving shape where a model consumes the decoded image on the same
+    chip. fn(words_u32[cap_words], nbits, max_n) -> image.
+    """
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _decode_pipeline_jit(
+        _settings_key(settings), h, w, level, c, enc_h, enc_w, ll_h,
+        ll_w, cap_words, str(np.dtype(dtype).name), as_uint8,
     )
 
 

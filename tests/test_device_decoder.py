@@ -214,3 +214,30 @@ def test_device_decoder_odd_ll_metadata_depth_clamp(rng):
         )
         np.testing.assert_array_equal(gr, wr, err_msg=f"nb={nb}")
         np.testing.assert_array_equal(gm, wm, err_msg=f"nb={nb}")
+
+
+def test_decode_image_device_pipeline(rng):
+    """The fused one-program decode (bit-parse -> dequantize -> inverse
+    DWT -> inverse color) equals the host decode_image path: identical
+    bit-parse (int32 rec) and f64-exact inverse transform."""
+    from spiht_tpu import (
+        SpihtSettings,
+        decode_image,
+        decode_image_device,
+        encode_image,
+    )
+
+    im = rng.random((3, 40, 56))
+    for settings in (
+        SpihtSettings(),
+        SpihtSettings(
+            color_model="ipt",
+            per_channel_quant_scales=[100.0, 20.0, 20.0],
+            quantization_scale=1.0,
+        ),
+    ):
+        er = encode_image(im, settings, level=3, max_bits=6000)
+        want = decode_image(er, settings)
+        got = decode_image_device(er, settings)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
