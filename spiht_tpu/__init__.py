@@ -21,6 +21,7 @@ from .codec.api import (
     decode,
     decode_image,
     decode_image_device,
+    encode_image_device,
     decode_rec_array,
     decode_from_rec_arr,
     decode_with_metadata,
@@ -41,6 +42,7 @@ __all__ = [
     "encode_image",
     "decode_image",
     "decode_image_device",
+    "encode_image_device",
     "encode_images",
     "decode_images",
     "decode_rec_array",

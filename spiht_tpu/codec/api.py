@@ -31,6 +31,7 @@ __all__ = [
     "decode_rec_array",
     "decode_from_rec_arr",
     "decode_image_device",
+    "encode_image_device",
     "get_slices_and_h_w",
 ]
 
@@ -163,6 +164,44 @@ def encode_image(
 
     encoded_bytes, max_n = encode(arr, ll_h, ll_w, max_bits)
     return EncodingResult(encoded_bytes, h, w, c, int(max_n), level)
+
+
+def encode_image_device(
+    image: np.ndarray,
+    spiht_settings: SpihtSettings = SpihtSettings(),
+    level: Optional[int] = None,
+    max_bits: Optional[int] = None,
+) -> EncodingResult:
+    """Encode an image entirely on device, as ONE XLA program.
+
+    Color conversion -> DWT -> quantization -> max_n (exact reference
+    f32-truncation semantics) -> SPIHT bit emission, fused: the image
+    ships host->device and only the finished stream comes back.
+    Bit-identical to `encode_image` at matching transform dtype (f64
+    under x64, f32 otherwise — f32 can flip borderline quantization
+    truncations vs the f64 host path, exactly like the host f32 speed
+    mode). Requires even LL dims (the device encoder's parent-gather
+    formulation raises ValueError otherwise); streams that exceed the
+    device bit buffer fall back to the host encoder.
+    """
+    from .. import jax_transform
+
+    image = np.asarray(image)
+    _validate_image(image)
+    c, h, w = image.shape
+    if max_bits is None:
+        max_bits = _MAX_BITS_DEFAULT
+    fn = jax_transform.encode_pipeline_fn(
+        spiht_settings, h, w, level, c
+    )
+    words, total, overflow, max_n = fn(
+        np.ascontiguousarray(image), min(int(max_bits), 2**31 - 2)
+    )
+    if bool(overflow):
+        return encode_image(image, spiht_settings, level, max_bits)
+    total = int(total)
+    data = np.asarray(words).view(np.uint8)[: (total + 7) // 8].tobytes()
+    return EncodingResult(data, h, w, c, int(max_n), level)
 
 
 def _encode_images_budget(images, groups, mb, spiht_settings, level, nat):

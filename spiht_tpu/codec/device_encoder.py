@@ -635,6 +635,53 @@ def _cap_words(c: int, h: int, w: int, bits_per_cell: int) -> int:
 
 
 @lru_cache(maxsize=None)
+@lru_cache(maxsize=None)
+def _max_n_thresholds() -> tuple:
+    """Per-exponent mantissa threshold where float32 log2 truncation
+    jumps to e+1.
+
+    The reference computes max_n as ``(max as f32).log2() as u8``
+    (encoder_decoder.rs:165-167). For mf with unbiased exponent e the
+    correctly-rounded f32 log2 lies in [e, e+1] — and at the top of a
+    binade it reaches e+1.0 EXACTLY (e.g. the largest f32 below 8
+    has log2 == 3.0 in f32), so the truncated result is e+1, not e.
+    The jump point is a single mantissa threshold per exponent; binary
+    search against numpy's f32 log2 (bit-matching libm) finds it
+    exactly, so the device computation needs no transcendental at all.
+    """
+    th = []
+    for e in range(32):
+        lo, hi = 0, 1 << 23
+        while lo < hi:
+            mid = (lo + hi) // 2
+            x = np.array([((e + 127) << 23) | mid], np.uint32).view(
+                np.float32
+            )[0]
+            if float(np.log2(x)) >= e + 1:
+                hi = mid
+            else:
+                lo = mid + 1
+        th.append(lo)
+    return tuple(th)
+
+
+def device_max_n(arr):
+    """max_n on device, bit-exact vs oracle.compute_max_n.
+
+    f32-convert the abs max (round-to-nearest, same as the host cast),
+    then read the exponent and compare the mantissa against the
+    precomputed log2-truncation threshold — integer ops only.
+    """
+    m = jnp.abs(arr).max().astype(jnp.int32)
+    mf = m.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(mf, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m23 = bits & 0x7FFFFF
+    th = jnp.asarray(_max_n_thresholds(), jnp.int32)
+    n = e + (m23 >= th[jnp.clip(e, 0, 31)]).astype(jnp.int32)
+    return jnp.where(m <= 0, 0, jnp.clip(n, 0, 255)).astype(jnp.int32)
+
+
 def encode_device_fn(
     c: int,
     h: int,

@@ -37,6 +37,7 @@ __all__ = [
     "analysis_fn",
     "synthesis_fn",
     "decode_pipeline_fn",
+    "encode_pipeline_fn",
     "default_dtype",
 ]
 
@@ -275,6 +276,63 @@ def decode_pipeline_fn(
     return _decode_pipeline_jit(
         _settings_key(settings), h, w, level, c, enc_h, enc_w, ll_h,
         ll_w, cap_words, str(np.dtype(dtype).name), as_uint8,
+    )
+
+
+@lru_cache(maxsize=None)
+def _encode_pipeline_jit(
+    key: Tuple,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    dtype_name: str,
+):
+    from .codec.device_encoder import device_max_n, encode_device_fn
+
+    wavelet, qscale, mode, color_model, pcs = key
+    settings = SpihtSettings(
+        wavelet=wavelet,
+        quantization_scale=qscale,
+        mode=mode,
+        color_model=color_model,
+        per_channel_quant_scales=list(pcs) if pcs is not None else None,
+    )
+    slices, enc_h, enc_w = get_slices_and_h_w(h, w, settings, level)
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    ana = _forward_jit(key, level, False, dtype_name)
+    enc = encode_device_fn(c, enc_h, enc_w, ll_h, ll_w)
+
+    def f(image, max_bits):
+        arr = ana.__wrapped__(image)
+        max_n = device_max_n(arr)
+        words, total, overflow = enc(arr, max_n, max_bits)
+        return words, total, overflow, max_n
+
+    return jax.jit(f)
+
+
+def encode_pipeline_fn(
+    settings: SpihtSettings,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int = 3,
+    dtype: Optional[str] = None,
+):
+    """ONE jitted program for the whole encode: color -> DWT -> quantize
+    -> max_n (exact f32-truncation semantics, no transcendental) ->
+    SPIHT bit emission. Image in HBM -> stream words in HBM.
+
+    The encode mirror of `decode_pipeline_fn`; bit-identical to the
+    host path at matching transform dtype. Requires even LL dims (the
+    device encoder's parent-gather formulation).
+    fn(image, max_bits) -> (words_u32, total_bits, overflow, max_n).
+    """
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _encode_pipeline_jit(
+        _settings_key(settings), h, w, level, c,
+        str(np.dtype(dtype).name),
     )
 
 

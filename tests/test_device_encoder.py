@@ -195,3 +195,47 @@ def test_pack_lanes_sort_payload_roundtrip(rng):
     np.testing.assert_array_equal(
         np.asarray(s1)[: int(cnt)], p1[present][order]
     )
+
+
+def test_encode_image_device_pipeline(rng):
+    """The fused one-program encode (color -> DWT -> quantize ->
+    device max_n -> bit emission) produces byte-identical streams and
+    max_n vs the host encode_image path (both f64 under x64), across
+    default and IPT settings."""
+    from spiht_tpu import SpihtSettings, encode_image, encode_image_device
+
+    im = rng.random((3, 44, 60))  # packs to 52x68, ll 14x18 (even)
+    for settings in (
+        SpihtSettings(),
+        SpihtSettings(
+            color_model="ipt",
+            per_channel_quant_scales=[100.0, 20.0, 20.0],
+            quantization_scale=1.0,
+        ),
+    ):
+        for mb in (6000, None):
+            want = encode_image(im, settings, level=2, max_bits=mb)
+            got = encode_image_device(im, settings, level=2, max_bits=mb)
+            assert got.max_n == want.max_n
+            assert got.encoded_bytes == want.encoded_bytes
+            assert (got.h, got.w, got.c, got.level) == (
+                want.h, want.w, want.c, want.level,
+            )
+
+
+def test_device_max_n_exact_vs_oracle(rng):
+    """device_max_n reproduces the reference's f32-truncated log2
+    (oracle.compute_max_n) bit-for-bit, including the top-of-binade
+    round-up (e.g. the largest f32 below 8 has f32 log2 == 3.0)."""
+    from spiht_tpu.codec.device_encoder import device_max_n
+    from spiht_tpu.codec.oracle import compute_max_n
+
+    vals = [0, 1, 2, 3]
+    for k in range(1, 31):
+        vals += [2**k - 1, 2**k, 2**k + 1]
+    for k in range(24, 31):
+        vals += [2**k + d for d in range(-40, 41, 7)]
+    vals += list(rng.integers(1, 2**31 - 100, 500))
+    for v in vals:
+        arr = np.array([[[-int(v)]]], np.int32)
+        assert int(device_max_n(arr)) == compute_max_n(arr), v
