@@ -54,11 +54,13 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bpp", type=float, default=1.0)
     p.add_argument(
         "--backend",
-        choices=["auto", "native", "jax", "numpy"],
+        choices=["auto", "native", "jax", "numpy", "device"],
         default="native",
         help="transform backend; 'native' (C++ f64, default: fastest for "
         "one-shot CLI use), 'jax' (device/TPU, amortizes its jit compile "
-        "over batches), 'numpy' (trusted reference)",
+        "over batches), 'numpy' (trusted reference), 'device' (the whole "
+        "codec as single fused XLA programs: encode_image_device / "
+        "decode_image_device)",
     )
     p.add_argument("--stats", action="store_true",
                    help="print per-stage timings and bit-plane histogram")
@@ -67,6 +69,8 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
 def _apply_backend(args) -> None:
     from . import transform
 
+    if args.backend == "device":
+        return  # fused-pipeline calls dispatch explicitly
     if args.backend != "auto":
         transform._BACKEND = args.backend
 
@@ -83,7 +87,14 @@ def cmd_encode_decode(args) -> int:
     max_bits = round(args.bpp * h * w)
 
     t0 = time.perf_counter()
-    er = codec.api.encode_image(image, settings, level=level, max_bits=max_bits)
+    if args.backend == "device":
+        er = codec.api.encode_image_device(
+            image, settings, level=level, max_bits=max_bits
+        )
+    else:
+        er = codec.api.encode_image(
+            image, settings, level=level, max_bits=max_bits
+        )
     t_enc = time.perf_counter() - t0
     nbytes = len(er.encoded_bytes)
     print(f"encoded {c}x{h}x{w} at level={level}: {nbytes} bytes "
@@ -94,7 +105,10 @@ def cmd_encode_decode(args) -> int:
           f"{slices[0][1].stop}x{slices[0][2].stop}, max_n={er.max_n}")
 
     t0 = time.perf_counter()
-    rec = codec.api.decode_image(er, settings)
+    if args.backend == "device":
+        rec = codec.api.decode_image_device(er, settings)
+    else:
+        rec = codec.api.decode_image(er, settings)
     t_dec = time.perf_counter() - t0
     rec_c = rec[..., :h, :w]
     mean_l2 = float(np.mean((rec_c - image) ** 2))

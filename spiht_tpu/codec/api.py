@@ -180,9 +180,9 @@ def encode_image_device(
     Bit-identical to `encode_image` at matching transform dtype (f64
     under x64, f32 otherwise — f32 can flip borderline quantization
     truncations vs the f64 host path, exactly like the host f32 speed
-    mode). Requires even LL dims (the device encoder's parent-gather
-    formulation raises ValueError otherwise); streams that exceed the
-    device bit buffer fall back to the host encoder.
+    mode). Odd-LL geometries (the device encoder's parent-gather
+    formulation does not apply) and streams that exceed the device bit
+    buffer fall back to the host encoder.
     """
     from .. import jax_transform
 
@@ -191,9 +191,12 @@ def encode_image_device(
     c, h, w = image.shape
     if max_bits is None:
         max_bits = _MAX_BITS_DEFAULT
-    fn = jax_transform.encode_pipeline_fn(
-        spiht_settings, h, w, level, c
-    )
+    try:
+        fn = jax_transform.encode_pipeline_fn(
+            spiht_settings, h, w, level, c
+        )
+    except ValueError:
+        return encode_image(image, spiht_settings, level, max_bits)
     words, total, overflow, max_n = fn(
         np.ascontiguousarray(image), min(int(max_bits), 2**31 - 2)
     )

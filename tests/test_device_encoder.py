@@ -239,3 +239,14 @@ def test_device_max_n_exact_vs_oracle(rng):
     for v in vals:
         arr = np.array([[[-int(v)]]], np.int32)
         assert int(device_max_n(arr)) == compute_max_n(arr), v
+
+
+def test_encode_image_device_odd_ll_falls_back(rng):
+    """Odd-LL geometries transparently take the host encoder."""
+    from spiht_tpu import SpihtSettings, encode_image, encode_image_device
+
+    im = rng.random((3, 40, 56))  # packs to ll 13x17 (odd)
+    want = encode_image(im, SpihtSettings(), level=2, max_bits=4000)
+    got = encode_image_device(im, SpihtSettings(), level=2, max_bits=4000)
+    assert got.encoded_bytes == want.encoded_bytes
+    assert got.max_n == want.max_n
