@@ -140,6 +140,16 @@ _FORWARD = {
     "din99": _via_cl([_xyz_fwd, _lab_fwd_cl, _nm.din99_from_lab]),
     "hunter lab": _via_cl([_xyz_fwd, _nm.hunter_lab_from_xyz]),
     "cam16ucs": _via_cl([_xyz_fwd, _nm.cam16ucs_from_xyz]),
+    "cam16lcd": _via_cl(
+        [_xyz_fwd,
+         lambda x, xp: _nm.cam16ucs_from_xyz(x, xp=xp, variant="lcd")]
+    ),
+    "cam16scd": _via_cl(
+        [_xyz_fwd,
+         lambda x, xp: _nm.cam16ucs_from_xyz(x, xp=xp, variant="scd")]
+    ),
+    "cie ucs": _via_cl([_xyz_fwd, _nm.ucs_from_xyz]),
+    "cie uvw": _via_cl([_xyz_fwd, _nm.uvw_from_xyz]),
 }
 _INVERSE = {
     "ipt": _rgb_from_ipt,
@@ -159,6 +169,16 @@ _INVERSE = {
     "din99": _via_cl([_nm.lab_from_din99, _lab_inv_cl, _xyz_inv]),
     "hunter lab": _via_cl([_nm.xyz_from_hunter_lab, _xyz_inv]),
     "cam16ucs": _via_cl([_nm.xyz_from_cam16ucs, _xyz_inv]),
+    "cam16lcd": _via_cl(
+        [lambda x, xp: _nm.xyz_from_cam16ucs(x, xp=xp, variant="lcd"),
+         _xyz_inv]
+    ),
+    "cam16scd": _via_cl(
+        [lambda x, xp: _nm.xyz_from_cam16ucs(x, xp=xp, variant="scd"),
+         _xyz_inv]
+    ),
+    "cie ucs": _via_cl([_nm.xyz_from_ucs, _xyz_inv]),
+    "cie uvw": _via_cl([_nm.xyz_from_uvw, _xyz_inv]),
 }
 
 

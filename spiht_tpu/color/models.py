@@ -464,7 +464,72 @@ def _cam16_adapt_inv(rgb_a, xp):
     )
 
 
-def cam16ucs_from_xyz(im_cl, xp=np):
+def ucs_from_xyz(im_cl, xp=np):
+    """CIE 1960 UCS: U = 2X/3, V = Y, W = (-X + 3Y + Z)/2."""
+    X, Y, Z = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    return xp.stack(
+        [2.0 * X / 3.0, Y, 0.5 * (-X + 3.0 * Y + Z)], axis=-1
+    )
+
+
+def xyz_from_ucs(im_cl, xp=np):
+    U, V, W = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    X = 1.5 * U
+    return xp.stack([X, V, X - 3.0 * V + 2.0 * W], axis=-1)
+
+
+_UVW_UN = 4.0 * D65_WHITE[0] / (
+    D65_WHITE[0] + 15.0 * D65_WHITE[1] + 3.0 * D65_WHITE[2]
+)
+_UVW_VN = 6.0 * D65_WHITE[1] / (
+    D65_WHITE[0] + 15.0 * D65_WHITE[1] + 3.0 * D65_WHITE[2]
+)
+
+
+def uvw_from_xyz(im_cl, xp=np):
+    """CIE 1964 U*V*W* (Wyszecki): UCS-1960 chromaticity against the
+    D65 white, W* = 25 Y^(1/3) - 17 with Y in domain [0, 100]."""
+    X, Y, Z = (
+        im_cl[..., 0] * 100.0,
+        im_cl[..., 1] * 100.0,
+        im_cl[..., 2] * 100.0,
+    )
+    d = X + 15.0 * Y + 3.0 * Z
+    safe = xp.where(d == 0, 1.0, d)
+    u = xp.where(d == 0, _UVW_UN, 4.0 * X / safe)
+    v = xp.where(d == 0, _UVW_VN, 6.0 * Y / safe)
+    W = 25.0 * xp.cbrt(xp.maximum(Y, 0.0)) - 17.0
+    return xp.stack(
+        [13.0 * W * (u - _UVW_UN), 13.0 * W * (v - _UVW_VN), W], axis=-1
+    )
+
+
+def xyz_from_uvw(im_cl, xp=np):
+    Us, Vs, W = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    Y = ((W + 17.0) / 25.0) ** 3
+    safew = xp.where(W == 0, 1.0, W)
+    u = xp.where(W == 0, _UVW_UN, Us / (13.0 * safew) + _UVW_UN)
+    v = xp.where(W == 0, _UVW_VN, Vs / (13.0 * safew) + _UVW_VN)
+    safev = xp.where(v == 0, 1.0, v)
+    X = xp.where(v == 0, 0.0, 1.5 * u * Y / safev)
+    Z = xp.where(
+        v == 0, 0.0, (6.0 * Y / safev - X - 15.0 * Y) / 3.0
+    )
+    return xp.stack([X / 100.0, Y / 100.0, Z / 100.0], axis=-1)
+
+
+# Luo et al. 2006 UCS variants (applied to CAM16 per Li et al. 2017):
+# (KL, c1, c2); the coordinates use J' = (1+100 c1)J/(1+c1 J) / KL and
+# M' = ln(1+c2 M)/c2 (colour-science's UCS_Luo2006 convention, where KL
+# enters the J' coordinate so the distance metric stays Euclidean)
+_LUO2006 = {
+    "ucs": (1.0, 0.007, 0.0228),
+    "lcd": (0.77, 0.007, 0.0053),
+    "scd": (1.24, 0.007, 0.0363),
+}
+
+
+def cam16ucs_from_xyz(im_cl, xp=np, variant="ucs"):
     rgb = (im_cl * 100.0) @ xp.asarray(M16.T, dtype=im_cl.dtype)
     rgb_c = rgb * xp.asarray(_CAM16_D_RGB, dtype=im_cl.dtype)
     ra = _cam16_adapt(rgb_c, xp)
@@ -490,16 +555,19 @@ def cam16ucs_from_xyz(im_cl, xp=np):
         * (1.64 - 0.29**_CAM16_N) ** 0.73
     )
     M = C * _CAM16_FL**0.25
-    Jp = 1.7 * J / (1.0 + 0.007 * J)
-    Mp = xp.log1p(0.0228 * M) / 0.0228
+    KL, c1, c2 = _LUO2006[variant]
+    Jp = (1.0 + 100.0 * c1) * J / (1.0 + c1 * J) / KL
+    Mp = xp.log1p(c2 * M) / c2
     return xp.stack([Jp, Mp * xp.cos(h), Mp * xp.sin(h)], axis=-1)
 
 
-def xyz_from_cam16ucs(im_cl, xp=np):
+def xyz_from_cam16ucs(im_cl, xp=np, variant="ucs"):
     Jp, ap, bp = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
-    J = Jp / (1.7 - 0.007 * Jp)
+    KL, c1, c2 = _LUO2006[variant]
+    Jk = Jp * KL
+    J = Jk / (1.0 + 100.0 * c1 - c1 * Jk)
     Mp = xp.sqrt(ap * ap + bp * bp)
-    M = (xp.exp(0.0228 * Mp) - 1.0) / 0.0228
+    M = (xp.exp(c2 * Mp) - 1.0) / c2
     h = xp.arctan2(bp, ap)
     C = M / _CAM16_FL**0.25
     Jsafe = xp.maximum(J, 1e-10)
@@ -549,6 +617,10 @@ _FORWARD = {
     "din99": lambda x: din99_from_lab(lab_from_xyz(xyz_from_rgb(x))),
     "hunter lab": lambda x: hunter_lab_from_xyz(xyz_from_rgb(x)),
     "cam16ucs": lambda x: cam16ucs_from_xyz(xyz_from_rgb(x)),
+    "cam16lcd": lambda x: cam16ucs_from_xyz(xyz_from_rgb(x), variant="lcd"),
+    "cam16scd": lambda x: cam16ucs_from_xyz(xyz_from_rgb(x), variant="scd"),
+    "cie ucs": lambda x: ucs_from_xyz(xyz_from_rgb(x)),
+    "cie uvw": lambda x: uvw_from_xyz(xyz_from_rgb(x)),
 }
 _INVERSE = {
     "ipt": rgb_from_ipt,
@@ -566,6 +638,10 @@ _INVERSE = {
     "din99": lambda x: rgb_from_xyz(xyz_from_lab(lab_from_din99(x))),
     "hunter lab": lambda x: rgb_from_xyz(xyz_from_hunter_lab(x)),
     "cam16ucs": lambda x: rgb_from_xyz(xyz_from_cam16ucs(x)),
+    "cam16lcd": lambda x: rgb_from_xyz(xyz_from_cam16ucs(x, variant="lcd")),
+    "cam16scd": lambda x: rgb_from_xyz(xyz_from_cam16ucs(x, variant="scd")),
+    "cie ucs": lambda x: rgb_from_xyz(xyz_from_ucs(x)),
+    "cie uvw": lambda x: rgb_from_xyz(xyz_from_uvw(x)),
 }
 
 SUPPORTED_MODELS = set(_FORWARD)

@@ -42,7 +42,8 @@ def test_unsupported_raises():
 # ---------------------------------------------------------------------------
 
 NEW_MODELS = ["jzazbz", "ictcp", "cie xyy", "cie luv", "din99",
-              "hunter lab", "cam16ucs"]
+              "hunter lab", "cam16ucs", "cam16lcd", "cam16scd",
+              "cie ucs", "cie uvw"]
 
 
 @pytest.mark.parametrize("model", NEW_MODELS + ["oklab"])
@@ -100,3 +101,40 @@ def test_codec_roundtrip_new_color_model(rng):
     er = spiht_tpu.encode_image(im, settings, level=2)
     rec = np.asarray(spiht_tpu.decode_image(er, settings))[:, :48, :48]
     assert np.quantile(np.abs(rec - im), 0.99) < 0.1
+
+
+def test_cam16_variants_differ_only_in_luo_coefficients(rng):
+    """LCD/SCD share CAM16 appearance correlates with UCS; the a'b'
+    plane rescales by the c2 compression and J' by 1/KL."""
+    im = rng.uniform(0.05, 1.0, size=(3, 6, 10))
+    ucs = cm.convert(im, "RGB", "cam16ucs")
+    lcd = cm.convert(im, "RGB", "cam16lcd")
+    scd = cm.convert(im, "RGB", "cam16scd")
+    # hue angles agree across variants (M' scaling is radial)
+    for v in (lcd, scd):
+        np.testing.assert_allclose(
+            np.arctan2(v[2], v[1]), np.arctan2(ucs[2], ucs[1]), atol=1e-8
+        )
+    # J' ratio is exactly 1/KL
+    np.testing.assert_allclose(lcd[0], ucs[0] / 0.77, atol=1e-8)
+    np.testing.assert_allclose(scd[0], ucs[0] / 1.24, atol=1e-8)
+
+
+def test_cie_ucs_uvw_known_values():
+    """White: UCS of D65 white equals (2X/3, Y, (-X+3Y+Z)/2); UVW of
+    the white point is (0, 0, 8) since Y=100 gives W*=25*100^(1/3)-17
+    and the chromaticity difference vanishes."""
+    white = np.ones((3, 1, 1))
+    xyz = cm.convert(white, "RGB", "cie xyz")
+    ucs = cm.convert(white, "RGB", "cie ucs")
+    X, Y, Z = xyz[0, 0, 0], xyz[1, 0, 0], xyz[2, 0, 0]
+    np.testing.assert_allclose(ucs[0, 0, 0], 2 * X / 3, atol=1e-12)
+    np.testing.assert_allclose(ucs[1, 0, 0], Y, atol=1e-12)
+    np.testing.assert_allclose(
+        ucs[2, 0, 0], 0.5 * (-X + 3 * Y + Z), atol=1e-12
+    )
+    uvw = cm.convert(white, "RGB", "cie uvw")
+    assert abs(uvw[0, 0, 0]) < 1e-9 and abs(uvw[1, 0, 0]) < 1e-9
+    np.testing.assert_allclose(
+        uvw[2, 0, 0], 25.0 * 100.0 ** (1 / 3) - 17.0, atol=1e-9
+    )
