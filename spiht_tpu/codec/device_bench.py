@@ -130,6 +130,48 @@ def main() -> None:
         out[f"ms_dec_{tag}"] = round(med * 1e3, 1)
         out[f"exact_dec_{tag}"] = exact
 
+    # ---- fused encode pipeline lane: image -> stream, one program;
+    # exactness vs native encode of the device-quantized (f32) array
+    try:
+        from spiht_tpu import jax_transform
+
+        mb = int(round(bpp * h_in * w_in))
+        efn = jax_transform.encode_pipeline_fn(
+            settings, h_in, w_in, level, 3, dtype="float32"
+        )
+        jim = jax.device_put(jnp.asarray(im, jnp.float32))
+        t0 = time.perf_counter()
+        ewords, etotal, eovf, emn = efn(jim, mb)
+        jax.block_until_ready(ewords)
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            ewords, etotal, eovf, emn = efn(jim, mb)
+            jax.block_until_ready(ewords)
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        # ground truth: native encode of the SAME f32-quantized array
+        arr32 = np.asarray(
+            jax_transform.analysis_fn(
+                settings, level=level, with_maps=False, dtype="float32"
+            )(jim)
+        )
+        want, wmn = nat.encode(arr32, llh, llw, mb)
+        t = int(etotal)
+        got = np.asarray(ewords).view(np.uint8)[: (t + 7) // 8].tobytes()
+        exact = (
+            not bool(eovf)
+            and int(emn) == wmn
+            and got == want
+        )
+        log(f"encode pipeline {bpp}bpp image->stream: first "
+            f"{compile_s:.1f}s, median {med*1e3:.0f} ms, exact={exact}")
+        out[f"ms_enc_pipeline_{bpp}bpp"] = round(med * 1e3, 1)
+        out[f"exact_enc_pipeline_{bpp}bpp"] = exact
+    except Exception as exc:
+        log(f"encode pipeline lane failed: {type(exc).__name__}: {exc}")
+
     # ---- fused pipeline lane: stream words -> uint8 image, one program
     # (bit-parse + dequantize + inverse DWT + inverse color on device)
     try:
