@@ -241,3 +241,27 @@ def test_decode_image_device_pipeline(rng):
         got = decode_image_device(er, settings)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_device_pipelines_nondefault_wavelet(rng):
+    """Fused encode/decode pipelines under a non-default combo
+    (sym4, periodization): streams byte-identical to the host path and
+    decode f64-exact — wavelet/mode parity holds through the fused
+    programs, not just the host transform."""
+    from spiht_tpu import (
+        SpihtSettings,
+        decode_image,
+        decode_image_device,
+        encode_image,
+        encode_image_device,
+    )
+
+    im = rng.random((3, 32, 32))
+    settings = SpihtSettings(wavelet="sym4", mode="periodization")
+    er = encode_image(im, settings, level=2, max_bits=5000)
+    er_d = encode_image_device(im, settings, level=2, max_bits=5000)
+    assert er_d.encoded_bytes == er.encoded_bytes
+    assert er_d.max_n == er.max_n
+    want = decode_image(er, settings)
+    got = decode_image_device(er, settings)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
