@@ -22,6 +22,7 @@ from .codec.api import (
     decode_image,
     decode_image_device,
     encode_image_device,
+    encode_images_device,
     decode_rec_array,
     decode_from_rec_arr,
     decode_with_metadata,
@@ -43,6 +44,7 @@ __all__ = [
     "decode_image",
     "decode_image_device",
     "encode_image_device",
+    "encode_images_device",
     "encode_images",
     "decode_images",
     "decode_rec_array",

@@ -32,6 +32,7 @@ __all__ = [
     "decode_from_rec_arr",
     "decode_image_device",
     "encode_image_device",
+    "encode_images_device",
     "get_slices_and_h_w",
 ]
 
@@ -205,6 +206,64 @@ def encode_image_device(
     total = int(total)
     data = np.asarray(words).view(np.uint8)[: (total + 7) // 8].tobytes()
     return EncodingResult(data, h, w, c, int(max_n), level)
+
+
+def encode_images_device(
+    images,
+    spiht_settings: SpihtSettings = SpihtSettings(),
+    level: Optional[int] = None,
+    max_bits=None,
+):
+    """Batched fully-on-device encode for a SAME-SHAPE image batch.
+
+    One XLA program vmaps the fused pipeline (color -> DWT -> quantize
+    -> max_n -> bit emission) over the batch: B images in HBM, B
+    streams out. Mixed shapes, odd-LL geometries, or per-image overflow
+    fall back to the standard `encode_images` / host path per image.
+    Returns a list of EncodingResult.
+    """
+    from .. import jax_transform
+
+    ims = [np.asarray(im) for im in images]
+    if not ims:
+        return []
+    shapes = {im.shape for im in ims}
+    if len(shapes) != 1:
+        return encode_images(images, spiht_settings, level, max_bits)
+    for im in ims:
+        _validate_image(im)
+    c, h, w = ims[0].shape
+    B = len(ims)
+    if max_bits is None:
+        mbs = [_MAX_BITS_DEFAULT] * B
+    elif np.isscalar(max_bits):
+        mbs = [int(max_bits)] * B
+    else:
+        mbs = [int(m) for m in max_bits]
+    try:
+        fn = jax_transform.encode_pipeline_batch_fn(
+            spiht_settings, h, w, level, c
+        )
+    except ValueError:  # odd-LL geometry
+        return encode_images(images, spiht_settings, level, max_bits)
+    words, totals, overflows, max_ns = fn(
+        np.ascontiguousarray(np.stack(ims)),
+        np.asarray([min(m, 2**31 - 2) for m in mbs], np.int32),
+    )
+    words = np.asarray(words)
+    out = []
+    for b in range(B):
+        if bool(overflows[b]):
+            out.append(
+                encode_image(ims[b], spiht_settings, level, mbs[b])
+            )
+            continue
+        t = int(totals[b])
+        data = words[b].view(np.uint8)[: (t + 7) // 8].tobytes()
+        out.append(
+            EncodingResult(data, h, w, c, int(max_ns[b]), level)
+        )
+    return out
 
 
 def _encode_images_budget(images, groups, mb, spiht_settings, level, nat):

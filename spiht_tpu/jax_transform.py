@@ -38,6 +38,7 @@ __all__ = [
     "synthesis_fn",
     "decode_pipeline_fn",
     "encode_pipeline_fn",
+    "encode_pipeline_batch_fn",
     "default_dtype",
 ]
 
@@ -331,6 +332,39 @@ def encode_pipeline_fn(
     """
     dtype = dtype or str(np.dtype(default_dtype()).name)
     return _encode_pipeline_jit(
+        _settings_key(settings), h, w, level, c,
+        str(np.dtype(dtype).name),
+    )
+
+
+@lru_cache(maxsize=None)
+def _encode_pipeline_batch_jit(
+    key: Tuple,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    dtype_name: str,
+):
+    base = _encode_pipeline_jit(key, h, w, level, c, dtype_name)
+    return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0)))
+
+
+def encode_pipeline_batch_fn(
+    settings: SpihtSettings,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int = 3,
+    dtype: Optional[str] = None,
+):
+    """Batched fused encode: ONE program vmapping the whole
+    image->stream pipeline over a same-shape batch.
+    fn(images[B], max_bits[B]) -> (words[B], totals[B], overflows[B],
+    max_ns[B]) — per-image max_n and budgets, B streams out.
+    """
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _encode_pipeline_batch_jit(
         _settings_key(settings), h, w, level, c,
         str(np.dtype(dtype).name),
     )

@@ -250,3 +250,18 @@ def test_encode_image_device_odd_ll_falls_back(rng):
     got = encode_image_device(im, SpihtSettings(), level=2, max_bits=4000)
     assert got.encoded_bytes == want.encoded_bytes
     assert got.max_n == want.max_n
+
+
+def test_encode_images_device_batch(rng):
+    """Batched fused pipeline: per-image streams byte-identical to the
+    single-image host path, including per-image budgets and max_n."""
+    from spiht_tpu import SpihtSettings, encode_image, encode_images_device
+
+    ims = [rng.random((3, 44, 60)) for _ in range(3)]
+    mbs = [3000, 5000, 10**7]
+    settings = SpihtSettings()
+    got = encode_images_device(ims, settings, level=2, max_bits=mbs)
+    for b, (im, mb) in enumerate(zip(ims, mbs)):
+        want = encode_image(im, settings, level=2, max_bits=mb)
+        assert got[b].encoded_bytes == want.encoded_bytes, b
+        assert got[b].max_n == want.max_n, b
