@@ -21,6 +21,7 @@ from .codec.api import (
     decode,
     decode_image,
     decode_image_device,
+    decode_images_device,
     encode_image_device,
     encode_images_device,
     decode_rec_array,
@@ -43,6 +44,7 @@ __all__ = [
     "encode_image",
     "decode_image",
     "decode_image_device",
+    "decode_images_device",
     "encode_image_device",
     "encode_images_device",
     "encode_images",

@@ -31,6 +31,7 @@ __all__ = [
     "decode_rec_array",
     "decode_from_rec_arr",
     "decode_image_device",
+    "decode_images_device",
     "encode_image_device",
     "encode_images_device",
     "get_slices_and_h_w",
@@ -660,6 +661,56 @@ def decode_image_device(
         _words_of(data, cap_words), nbits, int(encoding_result.max_n)
     )
     return np.asarray(image)
+
+
+def decode_images_device(
+    encoding_results,
+    spiht_settings: SpihtSettings,
+    as_uint8: bool = False,
+):
+    """Batched fully-on-device decode for same-geometry streams.
+
+    One XLA program vmaps the fused stream->image pipeline (bit-parse,
+    dequantize, inverse DWT, inverse color) over the batch. Mixed
+    geometries fall back to per-image `decode_image_device`. Returns a
+    list of images.
+    """
+    from .. import jax_transform
+    from .device_decoder import _words_of
+
+    ers = list(encoding_results)
+    if not ers:
+        return []
+    keys = {(er.h, er.w, er.c, er.level) for er in ers}
+    if len(keys) != 1:
+        return [
+            decode_image_device(er, spiht_settings, as_uint8)
+            for er in ers
+        ]
+    for er in ers:
+        if er._encoding_version != ENCODER_DECODER_VERSION:
+            raise ValueError(er._encoding_version)
+    h, w, c = ers[0].h, ers[0].w, ers[0].c
+    slices, enc_h, enc_w = get_slices_and_h_w(
+        h, w, spiht_settings, ers[0].level
+    )
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    cap_words = max(
+        (max(len(er.encoded_bytes) for er in ers) * 8 + 31) // 32, 1
+    )
+    fn = jax_transform.decode_pipeline_batch_fn(
+        spiht_settings, h, w, ers[0].level, c, enc_h, enc_w, ll_h,
+        ll_w, cap_words, as_uint8=as_uint8,
+    )
+    words = np.stack(
+        [np.asarray(_words_of(er.encoded_bytes, cap_words)) for er in ers]
+    )
+    nbits = np.asarray(
+        [len(er.encoded_bytes) * 8 for er in ers], np.int32
+    )
+    ns = np.asarray([er.max_n for er in ers], np.int32)
+    images = fn(words, nbits, ns)
+    return [np.asarray(im) for im in images]
 
 
 def decode_image(

@@ -37,6 +37,7 @@ __all__ = [
     "analysis_fn",
     "synthesis_fn",
     "decode_pipeline_fn",
+    "decode_pipeline_batch_fn",
     "encode_pipeline_fn",
     "encode_pipeline_batch_fn",
     "default_dtype",
@@ -311,6 +312,53 @@ def _encode_pipeline_jit(
         return words, total, overflow, max_n
 
     return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _decode_pipeline_batch_jit(
+    key: Tuple,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    enc_h: int,
+    enc_w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    dtype_name: str,
+    as_uint8: bool,
+):
+    base = _decode_pipeline_jit(
+        key, h, w, level, c, enc_h, enc_w, ll_h, ll_w, cap_words,
+        dtype_name, as_uint8,
+    )
+    return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0, 0)))
+
+
+def decode_pipeline_batch_fn(
+    settings: SpihtSettings,
+    h: int,
+    w: int,
+    level: Optional[int],
+    c: int,
+    enc_h: int,
+    enc_w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    dtype: Optional[str] = None,
+    as_uint8: bool = False,
+):
+    """Batched fused decode: ONE program vmapping the whole
+    stream->image pipeline over same-geometry streams.
+    fn(words[B], nbits[B], max_n[B]) -> images[B].
+    """
+    dtype = dtype or str(np.dtype(default_dtype()).name)
+    return _decode_pipeline_batch_jit(
+        _settings_key(settings), h, w, level, c, enc_h, enc_w, ll_h,
+        ll_w, cap_words, str(np.dtype(dtype).name), as_uint8,
+    )
 
 
 def encode_pipeline_fn(

@@ -265,3 +265,29 @@ def test_device_pipelines_nondefault_wavelet(rng):
     want = decode_image(er, settings)
     got = decode_image_device(er, settings)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_decode_images_device_batch(rng):
+    """Batched fused decode equals per-image host decode over
+    same-geometry streams of different lengths (per-stream truncation
+    budgets and max_n ride the vmap)."""
+    from spiht_tpu import (
+        SpihtSettings,
+        decode_image,
+        decode_images_device,
+        encode_image,
+    )
+
+    settings = SpihtSettings()
+    ims = [rng.random((3, 32, 40)) for _ in range(3)]
+    mbs = [2000, 6000, 9000]
+    ers = [
+        encode_image(im, settings, level=2, max_bits=mb)
+        for im, mb in zip(ims, mbs)
+    ]
+    got = decode_images_device(ers, settings)
+    for b, er in enumerate(ers):
+        want = decode_image(er, settings)
+        np.testing.assert_allclose(
+            got[b], want, rtol=0, atol=1e-9, err_msg=str(b)
+        )
