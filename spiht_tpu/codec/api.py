@@ -84,12 +84,17 @@ def decode(
 ) -> np.ndarray:
     """Decode bytes -> (C,H,W) int32 coefficient array (prefix-tolerant)."""
     if os.environ.get("SPIHT_TPU_DEVICE_DECODER") == "1":
-        # the whole decode as one jitted XLA program (sequential
-        # bit-machine; see codec/device_decoder.py) — bit-identical to
-        # the native kernel, works for any ll geometry
+        # the whole decode as one jitted XLA program (hybrid plane-phase
+        # machine; see codec/device_decoder.py) — bit-identical to the
+        # native kernel, works for any ll geometry. Geometries beyond
+        # the packed-entry range (c*h*w >= 2^24) fall through to the
+        # host kernel.
         from .device_decoder import decode_device
 
-        return decode_device(data, n, c, h, w, ll_h, ll_w)
+        try:
+            return decode_device(data, n, c, h, w, ll_h, ll_w)
+        except ValueError:
+            pass
     nat = _native()
     if nat is not None:
         return nat.decode(data, n, c, h, w, ll_h, ll_w)
@@ -653,10 +658,18 @@ def decode_image_device(
     data = encoding_result.encoded_bytes
     nbits = len(data) * 8
     cap_words = max((nbits + 31) // 32, 1)
-    fn = jax_transform.decode_pipeline_fn(
-        spiht_settings, h, w, encoding_result.level, c, enc_h, enc_w,
-        ll_h, ll_w, cap_words, as_uint8=as_uint8,
-    )
+    try:
+        fn = jax_transform.decode_pipeline_fn(
+            spiht_settings, h, w, encoding_result.level, c, enc_h,
+            enc_w, ll_h, ll_w, cap_words, as_uint8=as_uint8,
+        )
+    except ValueError:  # geometry beyond the packed-entry range
+        image = decode_image(encoding_result, spiht_settings)
+        if as_uint8:
+            image = np.round(
+                np.clip(image, 0.0, 1.0) * 255.0
+            ).astype(np.uint8)
+        return image
     image = fn(
         _words_of(data, cap_words), nbits, int(encoding_result.max_n)
     )
