@@ -16,6 +16,7 @@ Architecture (TPU-first, not a port):
 Public API mirrors the reference surface (spiht/__init__.py:1-2).
 """
 
+from . import interop
 from .settings import ENCODER_DECODER_VERSION, EncodingResult, SpihtSettings
 from .codec.api import (
     decode,
@@ -52,6 +53,7 @@ __all__ = [
     "decode_rec_array",
     "decode_from_rec_arr",
     "get_slices_and_h_w",
+    "interop",
 ]
 
 __version__ = "0.1.0"

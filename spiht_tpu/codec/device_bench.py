@@ -205,10 +205,12 @@ def main() -> None:
 
     # ---- batched decode lane (opt-in: pass a 4th arg "batch=B"):
     # B lockstep vmapped hybrid machines over same-geometry streams
-    batch = 0
+    batch = ebatch = 0
     for a in sys.argv[4:]:
         if a.startswith("batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("ebatch="):
+            ebatch = int(a.split("=")[1])
     if batch:
         try:
             _batch_lane(
@@ -217,6 +219,14 @@ def main() -> None:
             )
         except Exception as exc:
             log(f"batch decode lane failed: {type(exc).__name__}: {exc}")
+    if ebatch:
+        try:
+            _encode_batch_lane(
+                ebatch, bpp, h_in, w_in, im, settings, level, nat, c, h,
+                w, llh, llw, out,
+            )
+        except Exception as exc:
+            log(f"batch encode lane failed: {type(exc).__name__}: {exc}")
     # only the headline config refreshes the bench.py fallback cache
     if (h_in, w_in, level) == (512, 512, 6):
         _persist(out)
@@ -288,6 +298,64 @@ def _batch_lane(batch, bpp, h_in, w_in, im, settings, level, nat, c, h,
     out["batch"] = batch
     out[f"mpps_dec_batch{batch}"] = round(mpps, 3)
     out[f"exact_dec_batch{batch}"] = exact
+
+
+def _encode_batch_lane(batch, bpp, h_in, w_in, im, settings, level, nat,
+                       c, h, w, llh, llw, out):
+    """B lockstep vmapped device encoders over same-geometry images
+    (`encode_device_batch`'s jitted core, timed without host prep)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spiht_tpu import transform
+    from spiht_tpu.codec.device_encoder import _encode_device_batch_fn
+    from spiht_tpu.codec.oracle import compute_max_n
+
+    mb = int(round(bpp * h_in * w_in))
+    arrs, wants, mns = [], [], []
+    for b in range(batch):
+        im_b = np.clip(
+            im + 0.03 * np.random.default_rng(b).standard_normal(im.shape),
+            0,
+            1,
+        )
+        arr_b, _, _ = transform.forward_numpy(im_b, settings, level)
+        arr_b = arr_b.astype(np.int32)
+        arrs.append(arr_b)
+        wants.append(nat.encode(arr_b, llh, llw, mb))
+        mns.append(compute_max_n(arr_b))
+    bfn = _encode_device_batch_fn(c, h, w, llh, llw)
+    ja = jax.device_put(jnp.asarray(np.stack(arrs)))
+    jmn = jax.device_put(jnp.asarray(np.array(mns, np.int32)))
+    jmb = jax.device_put(jnp.full(batch, mb, jnp.int32))
+    t0 = time.perf_counter()
+    words, totals, ovf = bfn(ja, jmn, jmb)
+    jax.block_until_ready(words)
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        words, totals, ovf = bfn(ja, jmn, jmb)
+        jax.block_until_ready(words)
+        ts.append(time.perf_counter() - t1)
+    med = sorted(ts)[1]
+    mpps = batch * c * h * w / 1e6 / med
+    words_h = np.asarray(words)
+    totals_h = np.asarray(totals)
+    exact = not bool(np.asarray(ovf).any())
+    for b, (want, wmn) in enumerate(wants):
+        t = int(totals_h[b])
+        got = words_h[b].view(np.uint8)[: (t + 7) // 8].tobytes()
+        exact = exact and wmn == mns[b] and got == want
+    log(f"encode batch={batch} @{bpp}bpp: first {compile_s:.1f}s, "
+        f"median {med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate, "
+        f"{med*1e3/batch:.0f} ms/stream, exact={exact}")
+    out["ebatch"] = batch
+    out[f"mpps_enc_batch{batch}"] = round(mpps, 3)
+    out[f"exact_enc_batch{batch}"] = exact
 
 
 def _persist(out):
