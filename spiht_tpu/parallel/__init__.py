@@ -31,6 +31,13 @@ from .distributed import (
     load_manifest,
     merge_manifests,
 )
+from .health import (
+    DeviceHealth,
+    healthy_devices,
+    probe_devices,
+    robust_encode_images,
+    run_with_failover,
+)
 
 __all__ = [
     "sharded_plane_stats",
@@ -48,4 +55,9 @@ __all__ = [
     "encode_manifest",
     "load_manifest",
     "merge_manifests",
+    "DeviceHealth",
+    "probe_devices",
+    "healthy_devices",
+    "run_with_failover",
+    "robust_encode_images",
 ]
