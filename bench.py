@@ -216,6 +216,11 @@ def main() -> None:
             result[f"device_decode_mpps_full{suffix}"] = device.get(
                 "mpps_dec_full"
             )
+        for k, v in device.items():
+            # batched-lane aggregates measured by device_bench
+            # (mpps_enc_batchB / mpps_dec_batchB)
+            if k.startswith(("mpps_enc_batch", "mpps_dec_batch")):
+                result[f"device_{k}{suffix}"] = v
         result["device_encode_geom"] = device.get("geom")
         result["device_encode_backend"] = device.get("backend")
         if suffix:
