@@ -1,0 +1,406 @@
+"""Pallas sequential SPIHT decoder: the whole bit machine in ONE TPU kernel.
+
+Why: the XLA formulations of the decode machine are latency-bound — every
+iteration of a `lax.while_loop` pays ~2 us on dependent HBM-resident
+dynamic slices (measured, tools/spike_pallas_seq.py), so the hybrid
+machine (device_decoder._build_hybrid) had to parallelize the LIP and
+refinement sections and run-skip the LIS worklist to reach 1.77 s / 10.8 s
+at the 3x512x512/L6 headline geometry (BASELINE.md). Inside a Pallas
+kernel the same dependent chain costs ~70-330 ns per row-granular access
+(tools/spike_pallas_machine.py): the ENTIRE sequential machine — LIP,
+LIS cascades, refinement — fits in one kernel with all queue state
+VMEM-resident (~21 MB at the headline geometry, vmem_limit_bytes=40 MB),
+processing one queue entry per inner-loop iteration.
+
+Semantics are IDENTICAL to device_decoder._build_decoder (the proven
+sequential machine): same pop-ladder truncation flags, same queue
+orders, same duplicate-parent in-place rec writes — the reference
+contract of /root/reference/src/encoder_decoder.rs:307-454. Plain decode
+only (the metadata trace writes per-bit rows that exceed VMEM; that path
+stays on the XLA machine).
+
+TPU-specific mechanics:
+  * Mosaic rejects scalar dynamic indexing of VMEM (`ref[i, j]` with
+    traced i) and scalar stores; every access is a (1, 128) row
+    dynamic-slice — reads extract the lane by one-hot reduction, writes
+    are masked row read-modify-writes (the `want` mask doubles as the
+    write predicate, so inactive writes need no scratch-slot redirect).
+  * Bit reads use a 2-word funnel window: the <= 9-bit LIS cascade and
+    the 2-bit LIP grammar both live in 32 bits from `cur`, so each
+    iteration reads the words array once (two adjacent lanes).
+  * The per-plane LIP/LIS double buffers of the XLA machine become
+    single-buffer in-place FIFOs: within a pass the retain cursor
+    trails the read cursor, and same-pass LIS appends land at the live
+    tail, so compaction never overwrites unread entries.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .device_decoder import _dec_geom, _words_of
+
+__all__ = ["pallas_decode_fn", "pallas_decode"]
+
+LANES = 128
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+def _rows(n: int) -> int:
+    return max((n + LANES - 1) // LANES, 1)
+
+
+def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
+    out = np.zeros(rows * LANES, dtype)
+    out[: a.size] = a
+    return out.reshape(rows, LANES)
+
+
+@lru_cache(maxsize=None)
+def pallas_decode_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+):
+    """fn(words_u32[cap_words], nbits, max_n) -> rec i32 (c, h, w)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    LSP_CAP = g["ent_bound"] + 1
+    REC_ROWS = _rows(N)
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    W_ROWS = _rows(cap_words)
+
+    # packed per-node geometry: child0 (bits 0-23) | has_child<<24 | hg<<25
+    geo_np = (
+        np.asarray(g["child0"], np.int64)
+        | (np.asarray(g["has_child"], np.int64) << 24)
+        | (np.asarray(g["hg"], np.int64) << 25)
+    ).astype(np.int32)
+    GEO_ROWS = _rows(N)
+    geo2d = jnp.asarray(_pad2d(geo_np, GEO_ROWS, np.int32))
+
+    lip0 = g["lip_init"]
+    lis0 = (g["lis_init"].astype(np.int64) << 1 | 1).astype(np.int32)
+    n_lip0 = int(lip0.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lipi2d = jnp.asarray(_pad2d(lip0, LI_ROWS, np.int32))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+
+    vmem_bytes = 4 * LANES * (
+        REC_ROWS + LIP_ROWS + LIS_ROWS + LSP_ROWS + GEO_ROWS + W_ROWS
+        + LI_ROWS + LS_ROWS + 64
+    )
+
+    def kernel(words_ref, geo_ref, lipi_ref, lisi_ref, sc_ref,
+               rec_ref, lip_ref, lis_ref, lsp_ref):
+        nbits = sc_ref[0]
+        max_n = sc_ref[1]
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+
+        rec_ref[:] = jnp.zeros((REC_ROWS, LANES), _I32)
+        lip_ref[0:LI_ROWS, :] = lipi_ref[:]
+        lis_ref[0:LS_ROWS, :] = lisi_ref[:]
+
+        def rd(ref, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def funnel(cur):
+            """uint32 window holding stream bits cur..cur+31."""
+            wi = jnp.clip(cur >> 5, 0, cap_words - 1)
+            r0 = wi // LANES
+            row0 = words_ref[pl.ds(r0, 1), :].astype(_U32)
+            w0 = jnp.sum(
+                jnp.where(lanes == wi % LANES, row0, jnp.uint32(0)),
+                dtype=_U32,
+            )
+            wi1 = jnp.clip(wi + 1, 0, cap_words - 1)
+            r1 = wi1 // LANES
+            row1 = words_ref[pl.ds(r1, 1), :].astype(_U32)
+            w1 = jnp.sum(
+                jnp.where(lanes == wi1 % LANES, row1, jnp.uint32(0)),
+                dtype=_U32,
+            )
+            s = (cur & 31).astype(_U32)
+            hi = jnp.where(
+                s == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - s)
+            )
+            return (w0 >> s) | hi
+
+        def wbit(win, k):
+            """bit k of the window (k: traced scalar >= 0)."""
+            return ((win >> jnp.asarray(k, _I32).astype(_U32)) & 1) == 1
+
+        def base_val_of(n):
+            return jnp.where(
+                n == 0,
+                jnp.ones((), _I32),
+                ((1 << jnp.maximum(n - 1, 0)) + (1 << n)).astype(_I32),
+            )
+
+        # carry: (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+        #         lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+        #         dead, done) — all int32 scalars (flags 0/1)
+        def lip_phase(s):
+            def cond(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                return (lip_i < lip_cnt) & (dead == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                ent = rd(lip_ref, lip_i, LIP_CAP)
+                win = funnel(cur)
+                ok0 = cur < nbits
+                b0 = wbit(win, 0) & ok0
+                dead0 = ~ok0
+                fired = b0
+                ok1 = fired & ((cur + 1) < nbits) & ~dead0
+                b1 = wbit(win, 1) & ok1
+                dead1 = fired & ~ok1 & ~dead0
+                commit = fired & ok1
+                bv = base_val_of(n)
+                rmw(rec_ref, ent, jnp.where(b1, bv, -bv), commit, N)
+                rmw(lsp_ref, lsp_cnt, ent, commit, LSP_CAP)
+                lsp_cnt = lsp_cnt + commit.astype(_I32)
+                retain = ok0 & ~b0
+                rmw(lip_ref, lip_w, ent, retain, LIP_CAP)
+                lip_w = lip_w + retain.astype(_I32)
+                cur = cur + 1 + fired.astype(_I32)
+                dead = dead | (dead0 | dead1).astype(_I32)
+                lip_i = lip_i + 1
+                return (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def lis_phase(s):
+            def cond(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                return (lis_i < lis_t) & (dead == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                e = rd(lis_ref, lis_i, LIS_CAP)
+                node = jnp.clip(e >> 1, 0, N - 1)
+                is_a = (e & 1) == 1
+                gw = rd(geo_ref, node, N)
+                hc = ((gw >> 24) & 1) == 1
+                hgf = ((gw >> 25) & 1) == 1
+                c0 = gw & 0xFFFFFF
+                win = funnel(cur)
+                ok0 = cur < nbits
+                b0 = wbit(win, 0) & ok0
+                dead0 = ~ok0
+                a_fired = is_a & b0 & ~dead0
+                run_children = a_fired & hc
+                bv = base_val_of(n)
+                koff = jnp.ones((), _I32)  # bits consumed past cur
+                dead_c = dead0
+                child_off = (0, 1, w, w + 1)
+                for k in range(4):
+                    ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                    uset = run_children & ~dead_c
+                    okt = uset & ((cur + koff) < nbits)
+                    bt = wbit(win, koff) & okt
+                    dt = uset & ~okt
+                    koff = koff + okt.astype(_I32)
+                    oks = bt & ((cur + koff) < nbits) & ~dt
+                    bs = wbit(win, koff) & oks
+                    ds = bt & ~oks & ~dt
+                    koff = koff + oks.astype(_I32)
+                    commit = bt & oks
+                    rmw(rec_ref, ch, jnp.where(bs, bv, -bv), commit, N)
+                    rmw(lsp_ref, lsp_cnt, ch, commit, LSP_CAP)
+                    lsp_cnt = lsp_cnt + commit.astype(_I32)
+                    insig = okt & ~bt
+                    rmw(lip_ref, lip_w + lip_add, ch, insig, LIP_CAP)
+                    lip_add = lip_add + insig.astype(_I32)
+                    dead_c = dead_c | dt | ds
+                # A fire with grandchildren -> B re-entry at live tail
+                reapp = a_fired & hgf & ~dead_c
+                rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
+                lis_t = lis_t + reapp.astype(_I32)
+                # B fire -> 4 A-children at live tail
+                b_fired = (~is_a) & b0 & ok0 & hc
+                for k in range(4):
+                    ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                    rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired, LIS_CAP)
+                    lis_t = lis_t + b_fired.astype(_I32)
+                retain = ok0 & ~b0
+                rmw(lis_ref, lis_w, e, retain, LIS_CAP)
+                lis_w = lis_w + retain.astype(_I32)
+                cur = cur + koff
+                dead = dead | dead_c.astype(_I32)
+                lis_i = lis_i + 1
+                return (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def ref_phase(s):
+            def cond(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                return (ref_i < lsp_snap) & (dead == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                node = jnp.clip(rd(lsp_ref, ref_i, LSP_CAP), 0, N - 1)
+                win = funnel(cur)
+                ok0 = cur < nbits
+                b0 = wbit(win, 0) & ok0
+                r = node // LANES
+                row = rec_ref[pl.ds(r, 1), :]
+                x_old = jnp.sum(
+                    jnp.where(lanes == node % LANES, row, 0), dtype=_I32
+                )
+                mag = jnp.abs(x_old)
+                mag = jnp.where(b0, mag | (1 << n), mag & ~(1 << n))
+                v = jnp.where(x_old >= 0, mag, -mag).astype(_I32)
+                rec_ref[pl.ds(r, 1), :] = jnp.where(
+                    (lanes == node % LANES) & ok0, v, row
+                )
+                cur = cur + 1
+                ref_i = ref_i + 1
+                dead = dead | (~ok0).astype(_I32)
+                return (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def outer_cond(s):
+            return (s[12] == 0) & (s[13] == 0)  # ~dead & ~done
+
+        def outer_body(s):
+            s = lip_phase(s)
+            s = lis_phase(s)
+            s = ref_phase(s)
+            (cur, n, lip_cnt, lip_i, lip_w, lip_add,
+             lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+             dead, done) = s
+            done = done | (n == 0).astype(_I32)
+            return (
+                cur,
+                jnp.maximum(n - 1, 0),
+                lip_w + lip_add,       # next plane's LIP count
+                jnp.zeros((), _I32),   # lip_i
+                jnp.zeros((), _I32),   # lip_w
+                jnp.zeros((), _I32),   # lip_add
+                jnp.zeros((), _I32),   # lis_i
+                jnp.zeros((), _I32),   # lis_w
+                lis_w,                 # lis_t: compacted live tail
+                lsp_cnt,
+                lsp_cnt,               # lsp_snap for next refinement
+                jnp.zeros((), _I32),   # ref_i
+                dead,
+                done,
+            )
+
+        z = jnp.zeros((), _I32)
+        init = (
+            z, max_n,
+            jnp.asarray(n_lip0, _I32), z, z, z,
+            z, z, jnp.asarray(n_lis0, _I32),
+            z, z, z,
+            z, z,
+        )
+        jax.lax.while_loop(outer_cond, outer_body, init)
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 100 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((REC_ROWS, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # words
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LSP_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(words, nbits, max_n):
+        words2d = jnp.zeros(W_ROWS * LANES, jnp.uint32).at[
+            :cap_words
+        ].set(words).reshape(W_ROWS, LANES)
+        sc = jnp.stack(
+            [jnp.asarray(nbits, _I32), jnp.asarray(max_n, _I32)]
+        )
+        rec = call(words2d, geo2d, lipi2d, lisi2d, sc)
+        return rec.reshape(-1)[:N].reshape(c, h, w)
+
+    return fn
+
+
+def pallas_decode(
+    data: bytes, max_n: int, c: int, h: int, w: int, ll_h: int, ll_w: int,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Decode a SPIHT stream with the Pallas kernel (plain decode)."""
+    nbits = len(data) * 8
+    cap_words = max((nbits + 31) // 32, 1)
+    fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    words = jnp.asarray(_words_of(data, cap_words))
+    return np.asarray(fn(words, nbits, max_n))

@@ -1,0 +1,95 @@
+"""Pallas sequential SPIHT decoder vs the native kernel: bit-exact
+reconstruction including byte-prefix truncation, on CPU via interpret
+mode (hardware validation lives in device_bench's pallas lane).
+
+Reference semantics: /root/reference/src/encoder_decoder.rs:307-454.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spiht_tpu.codec.device_decoder import _words_of
+from spiht_tpu.codec.pallas_decoder import pallas_decode, pallas_decode_fn
+from spiht_tpu.native import runtime
+
+pytestmark = pytest.mark.skipif(
+    runtime.load() is None, reason="native kernel unavailable"
+)
+
+
+def _encode(arr, ll_h, ll_w, max_bits=10**9):
+    return runtime.load().encode(arr, ll_h, ll_w, max_bits)
+
+
+@pytest.mark.parametrize(
+    "shape,ll",
+    [
+        ((1, 16, 16), (4, 4)),
+        ((3, 24, 32), (6, 8)),
+        ((2, 34, 18), (4, 2)),
+        ((1, 19, 19), (5, 5)),  # odd LL: duplicate-parent geometry
+        ((2, 21, 13), (3, 2)),
+    ],
+)
+def test_pallas_decoder_full_stream(rng, shape, ll):
+    nat = runtime.load()
+    arr = (rng.standard_normal(shape) * rng.choice([7, 400, 3000])).astype(
+        np.int32
+    )
+    data, mn = _encode(arr, *ll)
+    want = nat.decode(data, mn, *shape, *ll)
+    got = pallas_decode(data, mn, *shape, *ll, interpret=True)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("shape,ll,seed", [
+    ((2, 16, 16), (4, 4), 99),
+    ((1, 19, 19), (5, 5), 7),
+])
+def test_pallas_decoder_truncation_fuzz(shape, ll, seed):
+    """Sampled byte-prefixes decode identically (one compile: fixed
+    cap_words, varying nbits)."""
+    nat = runtime.load()
+    arr = (
+        np.random.default_rng(seed).standard_normal(shape) * 300
+    ).astype(np.int32)
+    data, mn = _encode(arr, *ll)
+    cap = max((len(data) * 8 + 31) // 32, 1)
+    fn = pallas_decode_fn(*shape, *ll, cap, True)
+    step = max(len(data) // 40, 1)
+    for nb in [0, 1, 2, 3, 5, *range(7, len(data) + 1, step), len(data)]:
+        prefix = data[:nb]
+        want = nat.decode(prefix, mn, *shape, *ll)
+        words = jnp.asarray(_words_of(prefix, cap))
+        got = np.asarray(fn(words, nb * 8, mn))
+        np.testing.assert_array_equal(got, want, err_msg=f"nb={nb}")
+
+
+def test_pallas_decoder_budget_cut_stream(rng):
+    """Streams truncated by the ENCODER's max_bits decode identically."""
+    nat = runtime.load()
+    arr = (rng.standard_normal((3, 24, 24)) * 2000).astype(np.int32)
+    for mb in (64, 333, 1000, 2897):
+        data, mn = _encode(arr, 6, 6, mb)
+        want = nat.decode(data, mn, 3, 24, 24, 6, 6)
+        got = pallas_decode(data, mn, 3, 24, 24, 6, 6, interpret=True)
+        np.testing.assert_array_equal(got, want, err_msg=f"mb={mb}")
+
+
+def test_pallas_decoder_zero_stream():
+    got = pallas_decode(b"", 5, 1, 16, 16, 4, 4, interpret=True)
+    np.testing.assert_array_equal(got, np.zeros((1, 16, 16), np.int32))
+
+
+def test_pallas_decoder_extreme_magnitudes(rng):
+    arr = np.zeros((1, 16, 16), np.int32)
+    arr[0, 3, 5] = 2**23 - 1
+    arr[0, 9, 12] = -(2**23 - 1)
+    arr[0, 0, 0] = 1
+    data, mn = _encode(arr, 4, 4)
+    nat = runtime.load()
+    want = nat.decode(data, mn, 1, 16, 16, 4, 4)
+    got = pallas_decode(data, mn, 1, 16, 16, 4, 4, interpret=True)
+    np.testing.assert_array_equal(got, want)
