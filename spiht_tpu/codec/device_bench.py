@@ -58,49 +58,73 @@ def main() -> None:
     mn = compute_max_n(arr)
     log(f"device bench: backend={jax.default_backend()} geom={arr.shape} "
         f"ll=({llh},{llw}) max_n={mn}")
-    fn = encode_device_fn(c, h, w, llh, llw)
     ja = jax.device_put(jnp.asarray(arr))
     out = {"geom": f"{c}x{h}x{w}", "level": level,
            "backend": jax.default_backend()}
+    on_tpu = jax.default_backend() != "cpu"
+    from spiht_tpu.native import runtime
+
+    nat = runtime.load()
+    # encode lanes: the Pallas emission machine (production path on
+    # TPU) and the sorted-space XLA formulation. Timing materializes
+    # the result (np.asarray): block_until_ready alone can return
+    # before execution completes on the tunnel.
+    enc_lanes = [("enc_sorted",
+                  lambda mb: encode_device_fn(c, h, w, llh, llw))]
+    if on_tpu:
+        from spiht_tpu.codec.pallas_encoder import (
+            _cap_words_for, pallas_encode_fn,
+        )
+
+        enc_lanes.insert(0, ("", lambda mb: pallas_encode_fn(
+            c, h, w, llh, llw, _cap_words_for(c, h, w, mb))))
+    else:
+        enc_lanes[0] = ("", enc_lanes[0][1])
     for tag, mb in (
         ("full", 2**31 - 2),
         (f"{bpp}bpp", int(round(bpp * h_in * w_in))),
     ):
-        t0 = time.perf_counter()
-        words, total, ovf = fn(ja, mn, mb)
-        jax.block_until_ready(words)
-        compile_s = time.perf_counter() - t0
-        ts = []
-        for _ in range(3):
-            t1 = time.perf_counter()
+        for lane, mkfn in enc_lanes:
+            fn = mkfn(mb)
+            t0 = time.perf_counter()
             words, total, ovf = fn(ja, mn, mb)
-            jax.block_until_ready(words)
-            ts.append(time.perf_counter() - t1)
-        med = sorted(ts)[1]
-        mpps = c * h * w / 1e6 / med
-        log(f"{tag}: first {compile_s:.1f}s, median {med*1e3:.0f} ms "
-            f"= {mpps:.2f} MP/s, bits={int(total)}")
-        out[f"mpps_{tag}"] = round(mpps, 3)
-        out[f"ms_{tag}"] = round(med * 1e3, 1)
-        # bit-exactness vs the native kernel, on this backend's output
-        from spiht_tpu.native import runtime
+            words_h = np.asarray(words)
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                words, total, ovf = fn(ja, mn, mb)
+                words_h = np.asarray(words)
+                ts.append(time.perf_counter() - t1)
+            med = sorted(ts)[1]
+            mpps = c * h * w / 1e6 / med
+            key = f"{lane}_{tag}" if lane else tag
+            log(f"encode[{lane or 'enc'}] {tag}: first {compile_s:.1f}s, "
+                f"median {med*1e3:.0f} ms = {mpps:.2f} MP/s, "
+                f"bits={int(total)}")
+            out[f"mpps_{key}"] = round(mpps, 3)
+            out[f"ms_{key}"] = round(med * 1e3, 1)
+            if nat is not None:
+                want, wmn = nat.encode(arr, llh, llw, min(mb, 2**31 - 2))
+                t = int(total)
+                got = words_h.view(np.uint8)[: (t + 7) // 8].tobytes()
+                exact = (wmn == int(mn)) and (got == want)
+                out[f"exact_{key}"] = bool(exact)
+                log(f"encode[{lane or 'enc'}] {tag}: bit-exact vs "
+                    f"native = {exact}")
+                if not exact:
+                    log(f"  native bits={len(want)*8} device bits={t}")
 
-        nat = runtime.load()
-        if nat is not None:
-            want, wmn = nat.encode(arr, llh, llw, min(mb, 2**31 - 2))
-            t = int(total)
-            got = np.asarray(words).view(np.uint8)[: (t + 7) // 8].tobytes()
-            exact = (wmn == int(mn)) and (got == want)
-            out[f"exact_{tag}"] = bool(exact)
-            log(f"{tag}: bit-exact vs native = {exact}")
-            if not exact:
-                log(f"  native bits={len(want)*8} device bits={t}")
-
-    # ---- decoder lane: hybrid plane-phase machine on the same streams
+    # ---- decoder lanes: the Pallas bit machine (production path on
+    # TPU backends) and the hybrid XLA machine (CPU fallback / vmap
+    # batching), both on the same streams, both exactness-checked.
+    # Timing materializes the result (np.asarray): on the tunnel,
+    # block_until_ready alone can return before execution completes.
     from spiht_tpu.codec.device_decoder import decode_device_fn, _words_of
     from spiht_tpu.native import runtime
 
     nat = runtime.load()
+    on_tpu = jax.default_backend() != "cpu"
     for tag, mb in (
         ("full", 2**31 - 2),
         (f"{bpp}bpp", int(round(bpp * h_in * w_in))),
@@ -108,27 +132,35 @@ def main() -> None:
         data, dmn = nat.encode(arr, llh, llw, mb)
         nbits = len(data) * 8
         cap_words = max((nbits + 31) // 32, 1)
-        dfn = decode_device_fn(c, h, w, llh, llw, cap_words)
-        jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
-        t0 = time.perf_counter()
-        rec = dfn(jw, nbits, dmn)
-        jax.block_until_ready(rec)
-        compile_s = time.perf_counter() - t0
-        ts = []
-        for _ in range(3):
-            t1 = time.perf_counter()
-            rec = dfn(jw, nbits, dmn)
-            jax.block_until_ready(rec)
-            ts.append(time.perf_counter() - t1)
-        med = sorted(ts)[1]
-        mpps = c * h * w / 1e6 / med
         want_rec = nat.decode(data, dmn, c, h, w, llh, llw)
-        exact = bool(np.array_equal(np.asarray(rec), want_rec))
-        log(f"decode {tag}: first {compile_s:.1f}s, median "
-            f"{med*1e3:.0f} ms = {mpps:.2f} MP/s, exact={exact}")
-        out[f"mpps_dec_{tag}"] = round(mpps, 3)
-        out[f"ms_dec_{tag}"] = round(med * 1e3, 1)
-        out[f"exact_dec_{tag}"] = exact
+        lanes = [("dec_hybrid",
+                  decode_device_fn(c, h, w, llh, llw, cap_words))]
+        if on_tpu:
+            from spiht_tpu.codec.pallas_decoder import pallas_decode_fn
+
+            lanes.insert(
+                0, ("dec", pallas_decode_fn(c, h, w, llh, llw, cap_words))
+            )
+        else:
+            lanes[0] = ("dec", lanes[0][1])
+        jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
+        for lane, dfn in lanes:
+            t0 = time.perf_counter()
+            rec = np.asarray(dfn(jw, nbits, dmn))
+            compile_s = time.perf_counter() - t0
+            ts = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                rec = np.asarray(dfn(jw, nbits, dmn))
+                ts.append(time.perf_counter() - t1)
+            med = sorted(ts)[1]
+            mpps = c * h * w / 1e6 / med
+            exact = bool(np.array_equal(rec, want_rec))
+            log(f"decode[{lane}] {tag}: first {compile_s:.1f}s, median "
+                f"{med*1e3:.0f} ms = {mpps:.2f} MP/s, exact={exact}")
+            out[f"mpps_{lane}_{tag}"] = round(mpps, 3)
+            out[f"ms_{lane}_{tag}"] = round(med * 1e3, 1)
+            out[f"exact_{lane}_{tag}"] = exact
 
     # ---- fused encode pipeline lane: image -> stream, one program;
     # exactness vs native encode of the device-quantized (f32) array

@@ -35,6 +35,7 @@ which is exactly the reference's worklist order.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -934,9 +935,32 @@ def decode_device(
     """
     nbits = len(data) * 8
     cap_words = max((nbits + 31) // 32, 1)
+    if _use_pallas_machine(c, h, w):
+        from .pallas_decoder import pallas_decode_fn
+
+        fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words)
+        return np.asarray(fn(_words_of(data, cap_words), nbits, int(n)))
     fn = decode_device_fn(c, h, w, ll_h, ll_w, cap_words)
     rec = fn(_words_of(data, cap_words), nbits, int(n))
     return np.asarray(rec)
+
+
+def _use_pallas_machine(c: int, h: int, w: int) -> bool:
+    """Plain decode routes to the Pallas bit machine on real TPU
+    backends (12-16x the hybrid XLA machine at the headline geometry,
+    BASELINE.md); CPU keeps the hybrid (Mosaic interpret mode is for
+    tests). SPIHT_TPU_PALLAS_DECODER=0/1 overrides."""
+    flag = os.environ.get("SPIHT_TPU_PALLAS_DECODER")
+    if flag is not None:
+        return flag == "1"
+    if c * h * w >= 1 << 24:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def decode_device_with_metadata(

@@ -53,6 +53,7 @@ per-entity work into sort-carried payloads (sorted-space emission).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Tuple
 
@@ -713,6 +714,17 @@ def encode_device(
 
     arr = np.ascontiguousarray(arr, dtype=np.int32)
     c, h, w = arr.shape
+    if _use_pallas_emitter(c, h, w):
+        # Pallas sequential emission machine: ~15x the sorted-space
+        # formulation at the 1 bpp production point on hardware
+        # (BASELINE.md), works at odd-LL geometries, compiles in
+        # seconds. Overflow falls through to the sorted/native path.
+        from .pallas_encoder import EncCapacityOverflow, pallas_encode
+
+        try:
+            return pallas_encode(arr, ll_h, ll_w, max_bits)
+        except EncCapacityOverflow:
+            pass
     max_n = compute_max_n(arr)
     fn = encode_device_fn(c, h, w, ll_h, ll_w)
     words, total, overflow = fn(
@@ -728,6 +740,22 @@ def encode_device(
     # zero any pad bits beyond total in the final byte (emit() only wrote
     # in-budget bits, so the tail is already zero)
     return data, max_n
+
+
+def _use_pallas_emitter(c: int, h: int, w: int) -> bool:
+    """Route plain device encode to the Pallas bit machine on real TPU
+    backends; CPU keeps the sorted-space XLA formulation (Mosaic
+    interpret mode is for tests). SPIHT_TPU_PALLAS_ENCODER=0/1
+    overrides."""
+    flag = os.environ.get("SPIHT_TPU_PALLAS_ENCODER")
+    if flag is not None:
+        return flag == "1"
+    if c * h * w >= 1 << 24:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 @lru_cache(maxsize=None)

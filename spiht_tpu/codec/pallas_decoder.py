@@ -138,30 +138,34 @@ def pallas_decode_fn(
             )
 
         def funnel(cur):
-            """uint32 window holding stream bits cur..cur+31."""
+            """int32 window holding stream bits cur..cur+31.
+
+            All-int32: Mosaic has neither unsigned reductions nor scalar
+            bitcasts, so the logical right shift is the lax primitive.
+            """
             wi = jnp.clip(cur >> 5, 0, cap_words - 1)
             r0 = wi // LANES
-            row0 = words_ref[pl.ds(r0, 1), :].astype(_U32)
+            row0 = words_ref[pl.ds(r0, 1), :]
             w0 = jnp.sum(
-                jnp.where(lanes == wi % LANES, row0, jnp.uint32(0)),
-                dtype=_U32,
+                jnp.where(lanes == wi % LANES, row0, 0), dtype=_I32
             )
             wi1 = jnp.clip(wi + 1, 0, cap_words - 1)
             r1 = wi1 // LANES
-            row1 = words_ref[pl.ds(r1, 1), :].astype(_U32)
+            row1 = words_ref[pl.ds(r1, 1), :]
             w1 = jnp.sum(
-                jnp.where(lanes == wi1 % LANES, row1, jnp.uint32(0)),
-                dtype=_U32,
+                jnp.where(lanes == wi1 % LANES, row1, 0), dtype=_I32
             )
-            s = (cur & 31).astype(_U32)
+            s = cur & 31
             hi = jnp.where(
-                s == 0, jnp.uint32(0), w1 << (jnp.uint32(32) - s)
+                s == 0, jnp.zeros((), _I32), w1 << (32 - s)
             )
-            return (w0 >> s) | hi
+            return jax.lax.shift_right_logical(w0, s) | hi
 
         def wbit(win, k):
-            """bit k of the window (k: traced scalar >= 0)."""
-            return ((win >> jnp.asarray(k, _I32).astype(_U32)) & 1) == 1
+            """bit k of the window (k: traced scalar in [0, 31])."""
+            return (
+                jax.lax.shift_right_logical(win, jnp.asarray(k, _I32)) & 1
+            ) == 1
 
         def base_val_of(n):
             return jnp.where(
@@ -382,9 +386,14 @@ def pallas_decode_fn(
 
     @jax.jit
     def fn(words, nbits, max_n):
-        words2d = jnp.zeros(W_ROWS * LANES, jnp.uint32).at[
+        # int32 word buffer: Mosaic lacks unsigned reductions, so the
+        # kernel extracts words in int32 and bitcasts to u32 in-scalar
+        words_i = jax.lax.bitcast_convert_type(
+            jnp.asarray(words, jnp.uint32), jnp.int32
+        )
+        words2d = jnp.zeros(W_ROWS * LANES, jnp.int32).at[
             :cap_words
-        ].set(words).reshape(W_ROWS, LANES)
+        ].set(words_i).reshape(W_ROWS, LANES)
         sc = jnp.stack(
             [jnp.asarray(nbits, _I32), jnp.asarray(max_n, _I32)]
         )

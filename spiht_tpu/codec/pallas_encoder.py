@@ -1,0 +1,408 @@
+"""Pallas sequential SPIHT encoder: the emission machine in ONE TPU kernel.
+
+The mirror of codec/pallas_decoder.py: the encoder's pop ladder is
+structurally IDENTICAL to the decoder's (same slots, same budget/dead
+flags with max_bits in place of nbits) except the bit values come from
+the significance maps instead of the stream, and each ladder slot EMITS
+its bit. Significance questions are one comparison each against the
+precomputed M/D/G level maps (codec/maps.py — the same reformulation
+the native scheduler uses), so the per-entry body is pure scalar work
+over VMEM-resident tables; bits accumulate in a scalar word and flush
+to the output buffer once per 32.
+
+Semantics: oracle.encode_bits / the native kernel verbatim
+(/root/reference/src/encoder_decoder.rs:155-303): channel-innermost
+list init, same-pass LIS worklist, lsp_len refinement snapshot, exact
+mid-symbol max_bits stop. Unlike the sort-based device encoder
+(codec/device_encoder.py) this machine is CHILD-based, so odd-LL
+(duplicate-parent) geometries work — no even-LL fallback.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .device_decoder import _dec_geom
+from .maps import significance_maps
+
+__all__ = ["pallas_encode_fn", "pallas_encode", "EncCapacityOverflow"]
+
+LANES = 128
+_I32 = jnp.int32
+
+
+class EncCapacityOverflow(RuntimeError):
+    """The stream hit the static word-buffer capacity before max_bits."""
+
+
+def _rows(n: int) -> int:
+    return max((n + LANES - 1) // LANES, 1)
+
+
+def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
+    out = np.zeros(rows * LANES, dtype)
+    out[: a.size] = a
+    return out.reshape(rows, LANES)
+
+
+# bits per coefficient cell that provably cover any stream (see
+# device_encoder._CAP_BITS_PER_CELL discussion / ADVICE fix)
+_CAP_BITS_PER_CELL = 40
+
+
+@lru_cache(maxsize=None)
+def pallas_encode_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+):
+    """fn(arr_i32(c,h,w), max_n, max_bits) ->
+    (words u32[cap_words], total_bits, overflow)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    LSP_CAP = g["ent_bound"] + 1
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    T_ROWS = _rows(N)
+    W_ROWS = _rows(cap_words)
+    cap_bits = cap_words * 32
+
+    hc_np = np.asarray(g["has_child"], bool)
+    hg_np = np.asarray(g["hg"], bool)
+    child0_np = np.asarray(g["child0"], np.int32)
+    geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
+    hc_flags = jnp.asarray(
+        (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
+    )
+
+    lip0 = g["lip_init"]
+    lis0 = (g["lis_init"].astype(np.int64) << 1 | 1).astype(np.int32)
+    n_lip0 = int(lip0.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lipi2d = jnp.asarray(_pad2d(lip0, LI_ROWS, np.int32))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+
+    vmem_bytes = 4 * LANES * (
+        3 * T_ROWS + LIP_ROWS + LIS_ROWS + LSP_ROWS + W_ROWS
+        + LI_ROWS + LS_ROWS + 64
+    )
+
+    def kernel(t1_ref, t2_ref, t3_ref, lipi_ref, lisi_ref, sc_ref,
+               words_ref, stat_ref, lip_ref, lis_ref, lsp_ref):
+        max_bits = sc_ref[0]
+        max_n = sc_ref[1]
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+
+        words_ref[:] = jnp.zeros((W_ROWS, LANES), _I32)
+        lip_ref[0:LI_ROWS, :] = lipi_ref[:]
+        lis_ref[0:LS_ROWS, :] = lisi_ref[:]
+
+        def rd(ref, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def flush(pos, cw, grp, kk):
+            """Merge a kk-bit group into the bit cursor; write out the
+            completed word (at most one boundary per iteration: kk<=10)."""
+            sh = pos & 31
+            cw = cw | (grp << sh)
+            fl = (sh + kk) >= 32
+            rmw(words_ref, pos >> 5, cw, fl, cap_words)
+            spill = jax.lax.shift_right_logical(
+                grp, jnp.clip(32 - sh, 0, 31)
+            )
+            cw = jnp.where(fl, spill, cw)
+            return pos + kk, cw
+
+        # carry: (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+        #         lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+        #         dead, done)
+        def lip_phase(s):
+            def cond(s):
+                return (s[4] < s[3]) & (s[13] == 0)
+
+            def body(s):
+                (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                ent = rd(lip_ref, lip_i, LIP_CAP)
+                t1 = rd(t1_ref, ent, N)
+                sig = ((t1 & 31) - 1) >= n
+                sgn = ((t1 >> 15) & 1) == 1
+                ok0 = pos < max_bits
+                b0 = sig & ok0
+                dead0 = ~ok0
+                ok1 = b0 & ((pos + 1) < max_bits)
+                dead1 = b0 & ~ok1
+                commit = b0 & ok1
+                grp = b0.astype(_I32) | ((sgn & ok1).astype(_I32) << 1)
+                kk = ok0.astype(_I32) + ok1.astype(_I32)
+                pos, cw = flush(pos, cw, grp, kk)
+                rmw(lsp_ref, lsp_cnt, ent, commit, LSP_CAP)
+                lsp_cnt = lsp_cnt + commit.astype(_I32)
+                retain = ok0 & ~sig
+                rmw(lip_ref, lip_w, ent, retain, LIP_CAP)
+                lip_w = lip_w + retain.astype(_I32)
+                dead = dead | (dead0 | dead1).astype(_I32)
+                lip_i = lip_i + 1
+                return (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def lis_phase(s):
+            def cond(s):
+                return (s[7] < s[9]) & (s[13] == 0)
+
+            def body(s):
+                (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                e = rd(lis_ref, lis_i, LIS_CAP)
+                node = jnp.clip(e >> 1, 0, N - 1)
+                is_a = (e & 1) == 1
+                t1 = rd(t1_ref, node, N)
+                hc = ((t1 >> 16) & 1) == 1
+                hgf = ((t1 >> 17) & 1) == 1
+                dlev = ((t1 >> 5) & 31) - 1
+                glev = ((t1 >> 10) & 31) - 1
+                c0 = rd(t2_ref, node, N)
+                # slot 0: A emits D>=n, B emits G>=n
+                sig0 = jnp.where(is_a, dlev >= n, glev >= n)
+                ok0 = pos < max_bits
+                b0 = sig0 & ok0
+                dead0 = ~ok0
+                a_fired = is_a & b0
+                run_children = a_fired & hc
+                grp = b0.astype(_I32)
+                kk = ok0.astype(_I32)
+                dead_c = dead0
+                child_off = (0, 1, w, w + 1)
+                for k in range(4):
+                    ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                    ct1 = rd(t1_ref, ch, N)
+                    csig = ((ct1 & 31) - 1) >= n
+                    csgn = ((ct1 >> 15) & 1) == 1
+                    uset = run_children & ~dead_c
+                    okt = uset & ((pos + kk) < max_bits)
+                    bt = csig & okt
+                    dt = uset & ~okt
+                    grp = grp | (bt.astype(_I32) << kk)
+                    kk = kk + okt.astype(_I32)
+                    oks = bt & ((pos + kk) < max_bits) & ~dt
+                    ds = bt & ~oks & ~dt
+                    grp = grp | ((csgn & oks).astype(_I32) << kk)
+                    kk = kk + oks.astype(_I32)
+                    commit = bt & oks
+                    rmw(lsp_ref, lsp_cnt, ch, commit, LSP_CAP)
+                    lsp_cnt = lsp_cnt + commit.astype(_I32)
+                    insig = okt & ~bt
+                    rmw(lip_ref, lip_w + lip_add, ch, insig, LIP_CAP)
+                    lip_add = lip_add + insig.astype(_I32)
+                    dead_c = dead_c | dt | ds
+                pos, cw = flush(pos, cw, grp, kk)
+                reapp = a_fired & hgf & ~dead_c
+                rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
+                lis_t = lis_t + reapp.astype(_I32)
+                b_fired = (~is_a) & b0 & hc
+                for k in range(4):
+                    ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                    rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired, LIS_CAP)
+                    lis_t = lis_t + b_fired.astype(_I32)
+                retain = ok0 & ~sig0
+                rmw(lis_ref, lis_w, e, retain, LIS_CAP)
+                lis_w = lis_w + retain.astype(_I32)
+                dead = dead | dead_c.astype(_I32)
+                lis_i = lis_i + 1
+                return (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def ref_phase(s):
+            def cond(s):
+                return (s[12] < s[11]) & (s[13] == 0)
+
+            def body(s):
+                (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                 lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                 dead, done) = s
+                node = jnp.clip(rd(lsp_ref, ref_i, LSP_CAP), 0, N - 1)
+                mag = rd(t3_ref, node, N)
+                ok0 = pos < max_bits
+                b = (
+                    jax.lax.shift_right_logical(mag, jnp.clip(n, 0, 31))
+                    & 1
+                ) == 1
+                grp = (b & ok0).astype(_I32)
+                pos, cw = flush(pos, cw, grp, ok0.astype(_I32))
+                dead = dead | (~ok0).astype(_I32)
+                ref_i = ref_i + 1
+                return (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+                        lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+                        dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def outer_cond(s):
+            return (s[13] == 0) & (s[14] == 0)
+
+        def outer_body(s):
+            s = lip_phase(s)
+            s = lis_phase(s)
+            s = ref_phase(s)
+            (pos, cw, n, lip_cnt, lip_i, lip_w, lip_add,
+             lis_i, lis_w, lis_t, lsp_cnt, lsp_snap, ref_i,
+             dead, done) = s
+            done = done | (n == 0).astype(_I32)
+            z = jnp.zeros((), _I32)
+            return (
+                pos, cw,
+                jnp.maximum(n - 1, 0),
+                lip_w + lip_add, z, z, z,
+                z, z, lis_w,
+                lsp_cnt, lsp_cnt, z,
+                dead, done,
+            )
+
+        z = jnp.zeros((), _I32)
+        init = (
+            z, z, max_n,
+            jnp.asarray(n_lip0, _I32), z, z, z,
+            z, z, jnp.asarray(n_lis0, _I32),
+            z, z, z,
+            z, z,
+        )
+        end = jax.lax.while_loop(outer_cond, outer_body, init)
+        pos, cw = end[0], end[1]
+        # final partial word
+        rmw(words_ref, pos >> 5, cw, (pos & 31) != 0, cap_words)
+        stat_ref[0, 0] = pos
+        stat_ref[0, 1] = end[13]  # dead (budget/capacity stop mid-symbol)
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 100 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((W_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T1 maps+flags
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T2 child0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T3 |x|
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LSP_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(arr, max_n, max_bits):
+        arr = jnp.asarray(arr, jnp.int32)
+        m, d, gm = significance_maps(arr, ll_h, ll_w)
+        mf = m.reshape(-1).astype(_I32) + 1
+        df = d.reshape(-1).astype(_I32) + 1
+        gf = gm.reshape(-1).astype(_I32) + 1
+        sgn = (arr.reshape(-1) >= 0).astype(_I32)
+        t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags
+        pad = T_ROWS * LANES - N
+        t1 = jnp.pad(t1, (0, pad)).reshape(T_ROWS, LANES)
+        t3 = jnp.pad(
+            jnp.abs(arr.reshape(-1)), (0, pad)
+        ).reshape(T_ROWS, LANES)
+        mb = jnp.minimum(
+            jnp.asarray(max_bits, _I32), jnp.asarray(cap_bits, _I32)
+        )
+        sc = jnp.stack([mb, jnp.asarray(max_n, _I32)])
+        words2d, stat = call(t1, geo2d, t3, lipi2d, lisi2d, sc)
+        words = jax.lax.bitcast_convert_type(
+            words2d.reshape(-1)[:cap_words], jnp.uint32
+        )
+        total = stat[0, 0]
+        # overflow: stopped by the STATIC buffer capacity, not the
+        # caller's budget — the stream is incomplete
+        overflow = (stat[0, 1] != 0) & (
+            jnp.asarray(max_bits, _I32) > jnp.asarray(cap_bits, _I32)
+        ) & (total >= cap_bits - 32)
+        return words, total, overflow
+
+    return fn
+
+
+def _cap_words_for(c, h, w, max_bits) -> int:
+    cap_bits = min(
+        int(max_bits), c * h * w * _CAP_BITS_PER_CELL + 1024
+    )
+    return max((cap_bits + 31) // 32, 1)
+
+
+def pallas_encode(
+    arr: np.ndarray, ll_h: int, ll_w: int, max_bits: int = 2**31 - 2,
+    interpret: bool = False,
+):
+    """(bytes, max_n) via the Pallas emission machine."""
+    from .oracle import compute_max_n
+
+    arr = np.ascontiguousarray(arr, dtype=np.int32)
+    c, h, w = arr.shape
+    max_bits = min(int(max_bits), 2**31 - 2)
+    cap_words = _cap_words_for(c, h, w, max_bits)
+    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    mn = compute_max_n(arr)
+    words, total, overflow = fn(jnp.asarray(arr), mn, max_bits)
+    if bool(overflow):
+        raise EncCapacityOverflow(int(total))
+    total = int(total)
+    data = np.asarray(words).view(np.uint8)[: (total + 7) // 8].tobytes()
+    return data, mn
