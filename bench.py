@@ -221,6 +221,10 @@ def main() -> None:
             # (mpps_enc_batchB / mpps_dec_batchB)
             if k.startswith(("mpps_enc_batch", "mpps_dec_batch")):
                 result[f"device_{k}{suffix}"] = v
+        # fused on-device pipelines (image<->stream as ONE XLA program)
+        for k in (f"ms_enc_pipeline_{BPP}bpp", f"ms_pipeline_{BPP}bpp"):
+            if device.get(k) is not None:
+                result[f"device_{k}{suffix}"] = device[k]
         result["device_encode_geom"] = device.get("geom")
         result["device_encode_backend"] = device.get("backend")
         if suffix:

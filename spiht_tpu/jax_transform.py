@@ -15,6 +15,7 @@ Reference pipeline being re-architected: spiht/spiht_wrapper.py:142-189
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import Optional, Tuple
 
@@ -226,6 +227,18 @@ def synthesis_fn(
     )
 
 
+def _pick_machine(flag_env: str) -> str:
+    """'pallas' on real TPU backends, 'xla' on CPU (Mosaic interpret is
+    test-only); env flag overrides."""
+    flag = os.environ.get(flag_env)
+    if flag is not None:
+        return "pallas" if flag == "1" else "xla"
+    try:
+        return "pallas" if jax.default_backend() != "cpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 @lru_cache(maxsize=None)
 def _decode_pipeline_jit(
     key: Tuple,
@@ -240,11 +253,22 @@ def _decode_pipeline_jit(
     cap_words: int,
     dtype_name: str,
     as_uint8: bool,
+    machine: str = "xla",
 ):
-    from .codec.device_decoder import _build_hybrid
-
-    dec = _build_hybrid(c, enc_h, enc_w, ll_h, ll_w, cap_words)
     inv = _inverse_jit(key, h, w, level, dtype_name, as_uint8)
+
+    if machine == "pallas":
+        from .codec.pallas_decoder import pallas_decode_fn
+
+        # CPU backends get Mosaic interpret mode (test path)
+        dec = pallas_decode_fn(
+            c, enc_h, enc_w, ll_h, ll_w, cap_words,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        from .codec.device_decoder import _build_hybrid
+
+        dec = _build_hybrid(c, enc_h, enc_w, ll_h, ll_w, cap_words)
 
     def f(words, nbits, max_n):
         return inv(dec(words, nbits, max_n))
@@ -278,6 +302,7 @@ def decode_pipeline_fn(
     return _decode_pipeline_jit(
         _settings_key(settings), h, w, level, c, enc_h, enc_w, ll_h,
         ll_w, cap_words, str(np.dtype(dtype).name), as_uint8,
+        machine=_pick_machine("SPIHT_TPU_PALLAS_DECODER"),
     )
 
 
@@ -289,6 +314,7 @@ def _encode_pipeline_jit(
     level: Optional[int],
     c: int,
     dtype_name: str,
+    machine: str = "xla",
 ):
     from .codec.device_encoder import device_max_n, encode_device_fn
 
@@ -303,7 +329,16 @@ def _encode_pipeline_jit(
     slices, enc_h, enc_w = get_slices_and_h_w(h, w, settings, level)
     ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
     ana = _forward_jit(key, level, False, dtype_name)
-    enc = encode_device_fn(c, enc_h, enc_w, ll_h, ll_w)
+    if machine == "pallas":
+        from .codec.pallas_encoder import _cap_words_for, pallas_encode_fn
+
+        enc = pallas_encode_fn(
+            c, enc_h, enc_w, ll_h, ll_w,
+            _cap_words_for(c, enc_h, enc_w, 2**31 - 2),
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        enc = encode_device_fn(c, enc_h, enc_w, ll_h, ll_w)
 
     def f(image, max_bits):
         arr = ana.__wrapped__(image)
@@ -382,6 +417,7 @@ def encode_pipeline_fn(
     return _encode_pipeline_jit(
         _settings_key(settings), h, w, level, c,
         str(np.dtype(dtype).name),
+        machine=_pick_machine("SPIHT_TPU_PALLAS_ENCODER"),
     )
 
 
