@@ -20,6 +20,7 @@ mid-symbol max_bits stop. Unlike the sort-based device encoder
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -34,6 +35,9 @@ __all__ = ["pallas_encode_fn", "pallas_encode", "EncCapacityOverflow"]
 
 LANES = 128
 _I32 = jnp.int32
+# int32 shift constants (python ints promote to i64 under x64 tests)
+_C16 = np.int32(16)
+_C31 = np.int32(31)
 
 
 class EncCapacityOverflow(RuntimeError):
@@ -55,8 +59,32 @@ def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
 _CAP_BITS_PER_CELL = 40
 
 
-@lru_cache(maxsize=None)
 def pallas_encode_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+    machine: str | None = None,
+):
+    """fn(arr_i32(c,h,w), max_n, max_bits) ->
+    (words u32[cap_words], total_bits, overflow).
+
+    machine: 'hybrid' (vector-block LIP/refinement + run-skipping LIS,
+    the default) or 'seq' (the original one-entry-per-iteration
+    machine); SPIHT_TPU_PALLAS_ENC_MACHINE overrides the default.
+    """
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
+    if machine == "hybrid":
+        return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+
+
+@lru_cache(maxsize=None)
+def _seq_fn(
     c: int,
     h: int,
     w: int,
@@ -372,6 +400,535 @@ def pallas_encode_fn(
         total = stat[0, 0]
         # overflow: stopped by the STATIC buffer capacity, not the
         # caller's budget — the stream is incomplete
+        overflow = (stat[0, 1] != 0) & (
+            jnp.asarray(max_bits, _I32) > jnp.asarray(cap_bits, _I32)
+        ) & (total >= cap_bits - 32)
+        return words, total, overflow
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _hybrid_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+):
+    """Hybrid vector/sequential emission machine (the production one).
+
+    The sequential machine (_seq_fn) pays ~300 ns of dependent-chain
+    latency per queue entry. But the LIP pass, the refinement pass, and
+    runs of insignificant LIS entries have NO cross-entry value
+    dependence — every bit value comes from the precomputed maps — so
+    whole 128-lane queue rows are processed per iteration here
+    (tools/spike_pallas_block.py measured the block body at ~12
+    ns/entry on hardware):
+
+      * queues carry PAYLOADS, not indices: LIP/LSP rows hold packed
+        (nonneg<<31 | magnitude) words so significance, sign, and
+        refinement bits are lane-local; the LIS value queue holds the
+        node's packed level/flag word (t1). The kernel gathers only in
+        the fired-LIS cascade (4 children), like the native scheduler.
+      * per-row exclusive prefix sums via a strict-triangular f32
+        matmul give every lane its nominal bit offset; budget masks
+        reproduce the sequential mid-symbol max_bits cut exactly
+        (once any bit misses the budget, all later nominal offsets
+        also exceed it, so lane masks == sequential semantics).
+      * variable-length bit groups are merged into a static word
+        window with masked lane reductions and OR'd into the words
+        buffer (disjoint bits => sum == or); no carried cursor word.
+      * order-preserving queue compaction (LSP commits, LIP/LIS
+        retention) is a one-hot permute matmul in 16-bit halves, with
+        an MXU transpose to move destinations onto the sublane axis.
+        Retention is optimistic past a budget cut: once the machine is
+        dead the queues are never read again, so their content is
+        allowed to be stale (the emitted words and position are exact).
+      * the LIS worklist stays order-sequential (same-pass appends are
+        part of the wire format, SURVEY.md 3.6), but each row is
+        classified once, its non-fired entries are bulk-retained and
+        their zero bits emitted as one run, and only FIRED entries run
+        the scalar cascade body.
+
+    Bit-for-bit semantics: /root/reference/src/encoder_decoder.rs:155-303.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    LSP_CAP = g["ent_bound"] + 1
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    T_ROWS = _rows(N)
+    W_ROWS = _rows(cap_words)
+    cap_bits = cap_words * 32
+
+    hc_np = np.asarray(g["has_child"], bool)
+    hg_np = np.asarray(g["hg"], bool)
+    child0_np = np.asarray(g["child0"], np.int32)
+    geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
+    hc_flags = jnp.asarray(
+        (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
+    )
+
+    lip0_np = g["lip_init"].astype(np.int64)
+    lis_nodes_np = g["lis_init"].astype(np.int64)
+    lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
+    n_lip0 = int(lip0_np.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+    lip0_j = jnp.asarray(lip0_np.astype(np.int32))
+    lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
+
+    vmem_bytes = 4 * LANES * (
+        3 * T_ROWS + LIP_ROWS + 2 * LIS_ROWS + LSP_ROWS + W_ROWS
+        + LI_ROWS + 2 * LS_ROWS + 256
+    )
+
+    # carry layout (all i32 scalars):
+    # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
+    # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
+    def kernel(t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
+               sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+               lsp_ref):
+        max_bits = sc_ref[0]
+        max_n = sc_ref[1]
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+        sq0 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        sq1 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+        eye = (sq0 == sq1).astype(jnp.float32)
+        tri = (sq0 < sq1).astype(jnp.float32)  # tri[j,c]=1 iff j<c
+        colf = sq1.astype(jnp.float32)
+        onesrow = jnp.ones((1, LANES), jnp.float32)
+
+        words_ref[:] = jnp.zeros((W_ROWS, LANES), _I32)
+        lip_ref[0:LI_ROWS, :] = lipi_ref[:]
+        lis_ref[0:LS_ROWS, :] = lisi_ref[:]
+        lisv_ref[0:LS_ROWS, :] = lisvi_ref[:]
+
+        def rd(ref, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def ext(row, lane_idx):
+            return jnp.sum(
+                jnp.where(lanes == lane_idx, row, 0), dtype=_I32
+            )
+
+        def prefix(v_i32):
+            # exclusive prefix sum over lanes (exact: totals <= 256)
+            return jnp.dot(
+                v_i32.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(_I32)
+
+        def isum(v):
+            return jnp.sum(v.astype(_I32), dtype=_I32)
+
+        def scatter_rows(refs, w_off, vals_list, keep):
+            """Order-preserving append of kept lanes at queue offset
+            w_off, for one or more (ref, rows) targets sharing the
+            same keep mask and destinations."""
+            dest = (w_off % LANES) + prefix(keep.astype(_I32))
+            dm = jnp.where(keep, dest, -1).astype(jnp.float32)
+            d_t = jax.lax.dot_general(
+                jnp.broadcast_to(dm, (LANES, LANES)), eye,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # d_t[a, :] = dest of source lane a (or -1)
+            r0 = w_off // LANES
+            for r in range(2):
+                p = (d_t - (r * LANES) == colf).astype(jnp.float32)
+                msk = jnp.dot(
+                    onesrow, p, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(_I32)
+                for ref, rows_cap, vals in vals_list:
+                    lo = (vals & 0xFFFF).astype(jnp.float32)
+                    hi = jax.lax.shift_right_logical(
+                        vals, _C16
+                    ).astype(jnp.float32)
+                    plo = jnp.dot(
+                        lo, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    phi = jnp.dot(
+                        hi, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    neww = plo.astype(_I32) | (phi.astype(_I32) << 16)
+                    ri = jnp.clip(r0 + r, 0, rows_cap - 1)
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        msk != 0, neww, old
+                    )
+            del refs
+
+        def emit_window(pos, grp, off, wwin):
+            """OR per-lane bit groups (already budget-masked) into the
+            words buffer; off = nominal bit offsets, pos = block base."""
+            base = pos >> 5
+            sub = off & 31
+            rel = (off >> 5) - base
+            lo = grp << sub
+            spill = jnp.where(
+                sub == 0,
+                0,
+                jax.lax.shift_right_logical(
+                    grp, jnp.clip(32 - sub, 0, 31)
+                ),
+            )
+            wv = []
+            for j in range(wwin):
+                wj = jnp.sum(jnp.where(rel == j, lo, 0), dtype=_I32)
+                if j > 0:
+                    wj = wj + jnp.sum(
+                        jnp.where(rel == (j - 1), spill, 0), dtype=_I32
+                    )
+                wv.append(wj)
+            c0 = base % LANES
+            r0 = base // LANES
+            m0 = jnp.zeros((1, LANES), _I32)
+            m1 = jnp.zeros((1, LANES), _I32)
+            for j in range(wwin):
+                m0 = m0 | jnp.where(lanes == c0 + j, wv[j], 0)
+                m1 = m1 | jnp.where(lanes == c0 + j - LANES, wv[j], 0)
+            ra = jnp.clip(r0, 0, W_ROWS - 1)
+            row = words_ref[pl.ds(ra, 1), :]
+            words_ref[pl.ds(ra, 1), :] = row | m0
+            rb = jnp.clip(r0 + 1, 0, W_ROWS - 1)
+            row1 = words_ref[pl.ds(rb, 1), :]
+            words_ref[pl.ds(rb, 1), :] = row1 | m1
+
+        def seq_emit(pos, grp, kk):
+            """Scalar write-through emission of a kk-bit group."""
+            w0 = pos >> 5
+            sub = pos & 31
+            cur = rd(words_ref, w0, cap_words)
+            rmw(words_ref, w0, cur | (grp << sub), kk > 0, cap_words)
+            spill = jnp.where(
+                sub == 0,
+                0,
+                jax.lax.shift_right_logical(
+                    grp, jnp.clip(32 - sub, 0, 31)
+                ),
+            )
+            rmw(words_ref, w0 + 1, spill, (sub + kk) > 32, cap_words)
+            return pos + kk
+
+        def lip_phase(s):
+            def cond(s):
+                return (s[9] * LANES < s[2]) & (s[10] == 0)
+
+            def body(s):
+                (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                row = lip_ref[pl.ds(r, 1), :]
+                valid = lanes < (lip_cnt - r * LANES)
+                mag = row & 0x7FFFFFFF
+                nneg = jax.lax.shift_right_logical(row, _C31)
+                nsh = jnp.clip(n, 0, 31)
+                sig = valid & (
+                    jax.lax.shift_right_logical(mag, nsh) != 0
+                )
+                kk_nom = valid.astype(_I32) + sig.astype(_I32)
+                off = pos + prefix(kk_nom)
+                ok0 = valid & (off < max_bits)
+                b0 = sig & ok0
+                ok1 = b0 & ((off + 1) < max_bits)
+                grp = b0.astype(_I32) | (
+                    jnp.where(ok1, nneg, 0) << 1
+                )
+                emit_window(pos, grp, off, 10)
+                commit = b0 & ok1
+                scatter_rows(
+                    None, lsp_cnt, [(lsp_ref, LSP_ROWS, row)], commit
+                )
+                retain = ok0 & ~sig
+                scatter_rows(
+                    None, lip_w, [(lip_ref, LIP_ROWS, row)], retain
+                )
+                dead = dead | (
+                    isum(valid & ~ok0) + isum(b0 & ~ok1) > 0
+                ).astype(_I32)
+                pos = pos + isum(ok0) + isum(ok1)
+                return (pos, n, lip_cnt, lip_w + isum(retain),
+                        lip_add, lis_w, lis_t, lsp_cnt + isum(commit),
+                        lsp_snap, r + 1, dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def ref_phase(s):
+            def cond(s):
+                return (s[9] * LANES < s[8]) & (s[10] == 0)
+
+            def body(s):
+                (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                row = lsp_ref[pl.ds(r, 1), :]
+                valid = lanes < (lsp_snap - r * LANES)
+                mag = row & 0x7FFFFFFF
+                nsh = jnp.clip(n, 0, 31)
+                bit = jax.lax.shift_right_logical(mag, nsh) & 1
+                off = pos + prefix(valid.astype(_I32))
+                ok0 = valid & (off < max_bits)
+                grp = jnp.where(ok0, bit, 0)
+                emit_window(pos, grp, off, 6)
+                dead = dead | (isum(valid & ~ok0) > 0).astype(_I32)
+                pos = pos + isum(ok0)
+                return (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                        lsp_cnt, lsp_snap, r + 1, dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        child_off = (0, 1, w, w + 1)
+
+        def lis_phase(s):
+            def cond(s):
+                return (s[9] < s[6]) & (s[10] == 0)
+
+            def body(s):
+                (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, lis_i, dead, done) = s
+                r = lis_i // LANES
+                erow = lis_ref[pl.ds(r, 1), :]
+                vrow = lisv_ref[pl.ds(r, 1), :]
+                start = lis_i % LANES
+                vend = jnp.minimum(lis_t - r * LANES, LANES)
+                valid = (lanes >= start) & (lanes < vend)
+                is_a = (erow & 1) == 1
+                df = ((vrow >> 5) & 31) - 1
+                gf = ((vrow >> 10) & 31) - 1
+                # select over i32 then compare (Mosaic rejects i8->i1)
+                sig0 = jnp.where(is_a, df, gf) >= n
+                fired = valid & sig0
+                retain = valid & ~sig0
+                # optimistic bulk retention (exact while alive; stale
+                # only after a budget cut, when queues are never read)
+                scatter_rows(
+                    None, lis_w,
+                    [(lis_ref, LIS_ROWS, erow), (lisv_ref, LIS_ROWS, vrow)],
+                    retain,
+                )
+                lis_w = lis_w + isum(retain)
+
+                def icond(t):
+                    return (t[1] < vend) & (t[5] == 0)
+
+                def ibody(t):
+                    pos, cur, lip_add, lis_t, lsp_cnt, dead = t
+                    cand = jnp.where(
+                        fired & (lanes >= cur), lanes, LANES
+                    )
+                    f = jnp.min(cand)
+                    run = jnp.minimum(f, vend) - cur
+                    allowed = jnp.clip(max_bits - pos, 0, run)
+                    pos = pos + allowed
+                    dead = dead | (allowed < run).astype(_I32)
+                    do = (f < vend) & (dead == 0)
+                    ent = ext(erow, f)
+                    entv = ext(vrow, f)
+                    node = jnp.clip(ent >> 1, 0, N - 1)
+                    a_t = (ent & 1) == 1
+                    ok0 = pos < max_bits
+                    fire_ok = do & ok0
+                    dead = dead | (do & ~ok0).astype(_I32)
+                    grp = fire_ok.astype(_I32)
+                    kk = fire_ok.astype(_I32)
+                    hc = ((entv >> 16) & 1) == 1
+                    hgf = ((entv >> 17) & 1) == 1
+                    c0 = rd(geo_ref, node, N)
+                    run_children = a_t & fire_ok & hc
+                    dead_c = jnp.zeros((), jnp.bool_)
+                    nsh = jnp.clip(n, 0, 31)
+                    for k in range(4):
+                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                        ct3 = rd(t3s_ref, ch, N)
+                        cmag = ct3 & 0x7FFFFFFF
+                        cnneg = jax.lax.shift_right_logical(ct3, _C31)
+                        csig = (
+                            jax.lax.shift_right_logical(cmag, nsh) != 0
+                        )
+                        uset = run_children & ~dead_c
+                        okt = uset & ((pos + kk) < max_bits)
+                        bt = csig & okt
+                        dt = uset & ~okt
+                        grp = grp | (bt.astype(_I32) << kk)
+                        kk = kk + okt.astype(_I32)
+                        oks = bt & ((pos + kk) < max_bits) & ~dt
+                        dsx = bt & ~oks & ~dt
+                        grp = grp | (
+                            jnp.where(oks, cnneg, 0) << kk
+                        )
+                        kk = kk + oks.astype(_I32)
+                        commit = bt & oks
+                        rmw(lsp_ref, lsp_cnt, ct3, commit, LSP_CAP)
+                        lsp_cnt = lsp_cnt + commit.astype(_I32)
+                        insig = okt & ~bt
+                        rmw(lip_ref, lip_w + lip_add, ct3, insig,
+                            LIP_CAP)
+                        lip_add = lip_add + insig.astype(_I32)
+                        dead_c = dead_c | dt | dsx
+                    pos = seq_emit(pos, grp, kk)
+                    reapp = a_t & fire_ok & hgf & ~dead_c
+                    rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
+                    rmw(lisv_ref, lis_t, entv, reapp, LIS_CAP)
+                    lis_t = lis_t + reapp.astype(_I32)
+                    b_fired = (~a_t) & fire_ok & hc
+                    for k in range(4):
+                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                        ct1 = rd(t1_ref, ch, N)
+                        rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired,
+                            LIS_CAP)
+                        rmw(lisv_ref, lis_t, ct1, b_fired, LIS_CAP)
+                        lis_t = lis_t + b_fired.astype(_I32)
+                    dead = dead | dead_c.astype(_I32)
+                    return (pos, f + 1, lip_add, lis_t, lsp_cnt, dead)
+
+                t = jax.lax.while_loop(
+                    icond, ibody,
+                    (pos, start, lip_add, lis_t, lsp_cnt, dead),
+                )
+                pos, _, lip_add, lis_t, lsp_cnt, dead = t
+                return (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                        lsp_cnt, lsp_snap, r * LANES + vend, dead,
+                        done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def outer_cond(s):
+            return (s[10] == 0) & (s[11] == 0)
+
+        def outer_body(s):
+            s = lip_phase(s)
+            s = tuple(
+                jnp.zeros((), _I32) if i == 9 else s[i]
+                for i in range(12)
+            )
+            s = lis_phase(s)
+            s = tuple(
+                jnp.zeros((), _I32) if i == 9 else s[i]
+                for i in range(12)
+            )
+            s = ref_phase(s)
+            (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            done = done | (n == 0).astype(_I32)
+            z = jnp.zeros((), _I32)
+            return (
+                pos, jnp.maximum(n - 1, 0),
+                lip_w + lip_add, z, z,
+                z, lis_w,
+                lsp_cnt, lsp_cnt, z,
+                dead, done,
+            )
+
+        z = jnp.zeros((), _I32)
+        init = (
+            z, max_n,
+            jnp.asarray(n_lip0, _I32), z, z,
+            z, jnp.asarray(n_lis0, _I32),
+            z, z, z,
+            z, z,
+        )
+        end = jax.lax.while_loop(outer_cond, outer_body, init)
+        stat_ref[0, 0] = end[0]
+        stat_ref[0, 1] = end[10]
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 110 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((W_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T1 levels+flags
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T3s sign|mag
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # child0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init payload
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init entries
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init values
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LSP_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(arr, max_n, max_bits):
+        arr = jnp.asarray(arr, jnp.int32)
+        m, d, gm = significance_maps(arr, ll_h, ll_w)
+        mf = m.reshape(-1).astype(_I32) + 1
+        df = d.reshape(-1).astype(_I32) + 1
+        gf = gm.reshape(-1).astype(_I32) + 1
+        flat = arr.reshape(-1)
+        sgn = (flat >= 0).astype(_I32)
+        t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags
+        t3s = (sgn << 31) | jnp.abs(flat)
+        pad = T_ROWS * LANES - N
+        t1p = jnp.pad(t1, (0, pad)).reshape(T_ROWS, LANES)
+        t3sp = jnp.pad(t3s, (0, pad)).reshape(T_ROWS, LANES)
+        lip_pay = t3s[lip0_j]
+        lip_pay = jnp.pad(
+            lip_pay, (0, LI_ROWS * LANES - n_lip0)
+        ).reshape(LI_ROWS, LANES)
+        lisv0 = t1[lis_nodes_j]
+        lisv0 = jnp.pad(
+            lisv0, (0, LS_ROWS * LANES - n_lis0)
+        ).reshape(LS_ROWS, LANES)
+        mb = jnp.minimum(
+            jnp.asarray(max_bits, _I32), jnp.asarray(cap_bits, _I32)
+        )
+        sc = jnp.stack([mb, jnp.asarray(max_n, _I32)])
+        words2d, stat = call(
+            t1p, t3sp, geo2d, lip_pay, lisi2d, lisv0, sc
+        )
+        words = jax.lax.bitcast_convert_type(
+            words2d.reshape(-1)[:cap_words], jnp.uint32
+        )
+        total = stat[0, 0]
         overflow = (stat[0, 1] != 0) & (
             jnp.asarray(max_bits, _I32) > jnp.asarray(cap_bits, _I32)
         ) & (total >= cap_bits - 32)
