@@ -36,6 +36,7 @@ TPU-specific mechanics:
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -63,7 +64,47 @@ def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _has_duplicate_parents(h: int, w: int, ll_h: int, ll_w: int) -> bool:
+    """Odd LL dims make the parity offspring map overlap: a cell can
+    have several parents, several LSP instances, and shared-rec
+    refinement semantics (device_decoder docstring). The deferred-rec
+    hybrid machine requires unique commits, so those geometries stay
+    on the sequential machine."""
+    g = _dec_geom(1, h, w, ll_h, ll_w)
+    hc = np.asarray(g["has_child"], bool)
+    c0 = np.asarray(g["child0"], np.int64)[hc]
+    counts = np.zeros(h * w, np.int64)
+    for off in (0, 1, w, w + 1):
+        np.add.at(counts, c0 + off, 1)
+    return bool(counts.max(initial=0) > 1)
+
+
 def pallas_decode_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+    machine: str | None = None,
+):
+    """fn(words_u32[cap_words], nbits, max_n) -> rec i32 (c, h, w).
+
+    machine: 'hybrid' (stream-run-skipping parse + vector refinement +
+    deferred rec materialization; requires a duplicate-free parent map,
+    else falls back) or 'seq' (one queue entry per iteration).
+    SPIHT_TPU_PALLAS_DEC_MACHINE overrides the default.
+    """
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
+    if machine == "hybrid" and not _has_duplicate_parents(h, w, ll_h, ll_w):
+        return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+
+
+@lru_cache(maxsize=None)
+def _seq_fn(
     c: int,
     h: int,
     w: int,
@@ -399,6 +440,527 @@ def pallas_decode_fn(
         )
         rec = call(words2d, geo2d, lipi2d, lisi2d, sc)
         return rec.reshape(-1)[:N].reshape(c, h, w)
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _hybrid_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+):
+    """Hybrid vector/sequential decode machine (production for
+    duplicate-free geometries).
+
+    The sequential machine pays the dependent-chain latency once per
+    queue entry. Decode-side the stream itself provides the vector
+    structure:
+
+      * insignificance is a ZERO RUN: a 32-bit funnel window is spread
+        across lanes and the first 1-bit bounds how many LIP/LIS
+        entries consume single 0 bits — those are skipped in bulk, and
+        only significance hits run scalar bodies.
+      * the refinement pass consumes exactly one CONTIGUOUS stream bit
+        per LSP entry, so whole 128-entry rows update at once from a
+        5-word window.
+      * rec is never written inside the kernel: LSP is two parallel
+        queues (node|sign, evolving magnitude) — a commit appends the
+        1.5*2^n base magnitude, refinement edits bit n lane-locally —
+        and the final rec is ONE XLA scatter outside the kernel. Valid
+        only when every node commits at most once (duplicate-parent
+        geometries use _seq_fn, see _has_duplicate_parents).
+      * queue retention is one order-preserving permute matmul per row
+        (16-bit halves at Precision.HIGHEST: the TPU f32 matmul default
+        rounds through bf16), optimistic past a budget cut — a dead
+        machine never reads its queues again.
+
+    Bit-for-bit semantics: /root/reference/src/encoder_decoder.rs:307-454
+    including byte-prefix truncation (plain decode; the metadata trace
+    stays on the XLA machine).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP = g["ent_bound"] + 1
+    LIS_CAP = 2 * g["lis_bound"] + 1
+    LSP_CAP = g["ent_bound"] + 1
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    W_ROWS = _rows(cap_words)
+
+    geo_np = (
+        np.asarray(g["child0"], np.int64)
+        | (np.asarray(g["has_child"], np.int64) << 24)
+        | (np.asarray(g["hg"], np.int64) << 25)
+    ).astype(np.int32)
+    GEO_ROWS = _rows(N)
+    geo2d = jnp.asarray(_pad2d(geo_np, GEO_ROWS, np.int32))
+
+    lip0 = g["lip_init"]
+    lis0 = (g["lis_init"].astype(np.int64) << 1 | 1).astype(np.int32)
+    n_lip0 = int(lip0.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lipi2d = jnp.asarray(_pad2d(lip0, LI_ROWS, np.int32))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+
+    vmem_bytes = 4 * LANES * (
+        LIP_ROWS + LIS_ROWS + 2 * LSP_ROWS + GEO_ROWS + W_ROWS
+        + LI_ROWS + LS_ROWS + 256
+    )
+
+    _c31 = np.int32(31)
+    _c16 = np.int32(16)
+
+    # carry layout (i32 scalars):
+    # 0 cur, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
+    # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
+    def kernel(words_ref, geo_ref, lipi_ref, lisi_ref, sc_ref,
+               lspn_ref, lspm_ref, stat_ref, lip_ref, lis_ref):
+        nbits = sc_ref[0]
+        max_n = sc_ref[1]
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+        sq0 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        sq1 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+        eye = (sq0 == sq1).astype(jnp.float32)
+        tri = (sq0 < sq1).astype(jnp.float32)
+        colf = sq1.astype(jnp.float32)
+        onesrow = jnp.ones((1, LANES), jnp.float32)
+
+        lspn_ref[:] = jnp.zeros((LSP_ROWS, LANES), _I32)
+        lspm_ref[:] = jnp.zeros((LSP_ROWS, LANES), _I32)
+        lip_ref[0:LI_ROWS, :] = lipi_ref[:]
+        lis_ref[0:LS_ROWS, :] = lisi_ref[:]
+
+        def rd(ref, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def ext(row, lane_idx):
+            return jnp.sum(
+                jnp.where(lanes == lane_idx, row, 0), dtype=_I32
+            )
+
+        def prefix(v_i32):
+            return jnp.dot(
+                v_i32.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(_I32)
+
+        def isum(v):
+            return jnp.sum(v.astype(_I32), dtype=_I32)
+
+        def scatter_rows(w_off, vals_list, keep):
+            dest = (w_off % LANES) + prefix(keep.astype(_I32))
+            dm = jnp.where(keep, dest, -1).astype(jnp.float32)
+            d_t = jax.lax.dot_general(
+                jnp.broadcast_to(dm, (LANES, LANES)), eye,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            r0 = w_off // LANES
+            for r in range(2):
+                p = (d_t - (r * LANES) == colf).astype(jnp.float32)
+                msk = jnp.dot(
+                    onesrow, p, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(_I32)
+                for ref, rows_cap, vals in vals_list:
+                    lo = (vals & 0xFFFF).astype(jnp.float32)
+                    hi = jax.lax.shift_right_logical(
+                        vals, _c16
+                    ).astype(jnp.float32)
+                    plo = jnp.dot(
+                        lo, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    phi = jnp.dot(
+                        hi, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    neww = plo.astype(_I32) | (phi.astype(_I32) << 16)
+                    ri = jnp.clip(r0 + r, 0, rows_cap - 1)
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        msk != 0, neww, old
+                    )
+
+        def funnel(cur):
+            wi = jnp.clip(cur >> 5, 0, cap_words - 1)
+            w0 = rd(words_ref, wi, cap_words)
+            w1 = rd(words_ref, wi + 1, cap_words)
+            s = cur & 31
+            hi = jnp.where(
+                s == 0, jnp.zeros((), _I32), w1 << (32 - s)
+            )
+            return jax.lax.shift_right_logical(w0, s) | hi
+
+        def wbit(win, k):
+            return (
+                jax.lax.shift_right_logical(win, jnp.asarray(k, _I32))
+                & 1
+            ) == 1
+
+        def bits32(cur):
+            """(1,128) vector: lane l = stream bit cur+l for l<32."""
+            win = funnel(cur)
+            winv = win + jnp.zeros((1, LANES), _I32)
+            return (
+                jax.lax.shift_right_logical(
+                    winv, jnp.clip(lanes, 0, 31)
+                )
+                & 1
+            )
+
+        def bits128(cur):
+            """(1,128) vector of stream bits cur..cur+127."""
+            wi = cur >> 5
+            s = cur & 31
+            ws = [rd(words_ref, wi + k, cap_words) for k in range(5)]
+            sj = s + lanes
+            k = sj >> 5
+            sh = sj & 31
+            val = jnp.where(
+                k == 0, ws[0],
+                jnp.where(
+                    k == 1, ws[1],
+                    jnp.where(k == 2, ws[2],
+                              jnp.where(k == 3, ws[3], ws[4])),
+                ),
+            )
+            return jax.lax.shift_right_logical(val, sh) & 1
+
+        def base_val_of(n):
+            return jnp.where(
+                n == 0,
+                jnp.ones((), _I32),
+                ((1 << jnp.maximum(n - 1, 0)) + (1 << n)).astype(_I32),
+            )
+
+        def lip_phase(s):
+            def cond(s):
+                return (s[9] * LANES < s[2]) & (s[10] == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                row = lip_ref[pl.ds(r, 1), :]
+                vend = jnp.minimum(lip_cnt - r * LANES, LANES)
+                bv = base_val_of(n)
+
+                # inner: (cur, cpos, lsp_cnt, dead, cmask)
+                def icond(t):
+                    return (t[1] < vend) & (t[3] == 0)
+
+                def ibody(t):
+                    cur, cpos, lsp_cnt, dead, cmask = t
+                    bvec = bits32(cur)
+                    remaining = vend - cpos
+                    # 31-entry window so the sign bit of a hit at the
+                    # last parsed lane is still inside the funnel
+                    wlim = jnp.minimum(remaining, 31)
+                    blim = jnp.clip(nbits - cur, 0, wlim)
+                    one_at = jnp.min(
+                        jnp.where(
+                            (bvec == 1) & (lanes < blim), lanes, LANES
+                        )
+                    )
+                    hit = one_at < blim
+                    run = jnp.where(hit, one_at, blim)
+                    # zero-run entries stay in LIP (bulk, via cmask=0)
+                    cur = cur + run
+                    cpos = cpos + run
+                    dead = dead | ((~hit) & (blim < wlim)).astype(_I32)
+                    # significance hit: consume sig+sign, append to LSP
+                    ok1 = hit & ((cur + 1) < nbits)
+                    sgn = ext(bvec, run + 1) == 1
+                    node = ext(row, cpos)
+                    commit = hit & ok1 & (dead == 0)
+                    rmw(lspn_ref, lsp_cnt,
+                        node | (jnp.where(sgn, 1, 0) << 24),
+                        commit, LSP_CAP)
+                    rmw(lspm_ref, lsp_cnt, bv, commit, LSP_CAP)
+                    lsp_cnt = lsp_cnt + commit.astype(_I32)
+                    cmask = cmask | jnp.where(
+                        (lanes == cpos) & hit, 1, 0
+                    )
+                    dead = dead | (hit & ~ok1).astype(_I32)
+                    cur = cur + (hit.astype(_I32) << 1)
+                    cpos = cpos + hit.astype(_I32)
+                    return (cur, cpos, lsp_cnt, dead, cmask)
+
+                z = jnp.zeros((), _I32)
+                t = jax.lax.while_loop(
+                    icond, ibody,
+                    (cur, z, lsp_cnt,
+                     dead, jnp.zeros((1, LANES), _I32)),
+                )
+                cur, _, lsp_cnt, dead, cmask = t
+                retain = (lanes < vend) & (cmask == 0)
+                scatter_rows(
+                    lip_w, [(lip_ref, LIP_ROWS, row)], retain
+                )
+                return (cur, n, lip_cnt, lip_w + isum(retain),
+                        lip_add, lis_w, lis_t, lsp_cnt, lsp_snap,
+                        r + 1, dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        child_off = (0, 1, w, w + 1)
+
+        def lis_phase(s):
+            def cond(s):
+                return (s[9] < s[6]) & (s[10] == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, lis_i, dead, done) = s
+                r = lis_i // LANES
+                erow = lis_ref[pl.ds(r, 1), :]
+                start = lis_i % LANES
+                vend = jnp.minimum(lis_t - r * LANES, LANES)
+                bv = base_val_of(n)
+
+                # inner: (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
+                #         fmask)
+                def icond(t):
+                    return (t[1] < vend) & (t[5] == 0)
+
+                def ibody(t):
+                    (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
+                     fmask) = t
+                    bvec = bits32(cur)
+                    remaining = vend - cpos
+                    wlim = jnp.minimum(remaining, 32)
+                    blim = jnp.clip(nbits - cur, 0, wlim)
+                    one_at = jnp.min(
+                        jnp.where(
+                            (bvec == 1) & (lanes < blim), lanes, LANES
+                        )
+                    )
+                    hit = one_at < blim
+                    run = jnp.where(hit, one_at, blim)
+                    cur = cur + run
+                    cpos = cpos + run
+                    dead = dead | ((~hit) & (blim < wlim)).astype(_I32)
+                    fmask = fmask | jnp.where(
+                        (lanes == cpos) & hit, 1, 0
+                    )
+                    # fired entry: the sequential cascade (v1 body)
+                    e = ext(erow, cpos)
+                    node = jnp.clip(e >> 1, 0, N - 1)
+                    is_a = (e & 1) == 1
+                    gw = rd(geo_ref, node, N)
+                    hc = ((gw >> 24) & 1) == 1
+                    hgf = ((gw >> 25) & 1) == 1
+                    c0 = gw & 0xFFFFFF
+                    win = funnel(cur)
+                    alive = hit & (dead == 0)
+                    a_fired = is_a & alive
+                    run_children = a_fired & hc
+                    koff = jnp.ones((), _I32)
+                    dead_c = jnp.zeros((), jnp.bool_)
+                    for k in range(4):
+                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                        uset = run_children & ~dead_c
+                        okt = uset & ((cur + koff) < nbits)
+                        bt = wbit(win, koff) & okt
+                        dt = uset & ~okt
+                        koff = koff + okt.astype(_I32)
+                        oks = bt & ((cur + koff) < nbits) & ~dt
+                        bs = wbit(win, koff) & oks
+                        ds = bt & ~oks & ~dt
+                        koff = koff + oks.astype(_I32)
+                        commit = bt & oks
+                        rmw(lspn_ref, lsp_cnt,
+                            ch | (jnp.where(bs, 1, 0) << 24),
+                            commit, LSP_CAP)
+                        rmw(lspm_ref, lsp_cnt, bv, commit, LSP_CAP)
+                        lsp_cnt = lsp_cnt + commit.astype(_I32)
+                        insig = okt & ~bt
+                        rmw(lip_ref, lip_w + lip_add, ch, insig,
+                            LIP_CAP)
+                        lip_add = lip_add + insig.astype(_I32)
+                        dead_c = dead_c | dt | ds
+                    reapp = a_fired & hgf & ~dead_c
+                    rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
+                    lis_t = lis_t + reapp.astype(_I32)
+                    b_fired = (~is_a) & alive & hc
+                    for k in range(4):
+                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                        rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired,
+                            LIS_CAP)
+                        lis_t = lis_t + b_fired.astype(_I32)
+                    cur = cur + jnp.where(alive, koff, 0)
+                    cpos = cpos + hit.astype(_I32)
+                    dead = dead | dead_c.astype(_I32)
+                    return (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
+                            fmask)
+
+                t = jax.lax.while_loop(
+                    icond, ibody,
+                    (cur, start, lip_add, lis_t, lsp_cnt, dead,
+                     jnp.zeros((1, LANES), _I32)),
+                )
+                cur, _, lip_add, lis_t, lsp_cnt, dead, fmask = t
+                retain = (
+                    (lanes >= start) & (lanes < vend) & (fmask == 0)
+                )
+                scatter_rows(
+                    lis_w, [(lis_ref, LIS_ROWS, erow)], retain
+                )
+                return (cur, n, lip_cnt, lip_w, lip_add,
+                        lis_w + isum(retain), lis_t, lsp_cnt, lsp_snap,
+                        r * LANES + vend, dead, done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def ref_phase(s):
+            def cond(s):
+                return (s[9] * LANES < s[8]) & (s[10] == 0)
+
+            def body(s):
+                (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                mrow = lspm_ref[pl.ds(r, 1), :]
+                valid = lanes < (lsp_snap - r * LANES)
+                bvec = bits128(cur)
+                off = cur + prefix(valid.astype(_I32))
+                ok = valid & (off < nbits)
+                nbit = (1 << n).astype(_I32)
+                newm = jnp.where(
+                    bvec == 1, mrow | nbit, mrow & ~nbit
+                )
+                lspm_ref[pl.ds(r, 1), :] = jnp.where(ok, newm, mrow)
+                dead = dead | (isum(valid & ~ok) > 0).astype(_I32)
+                return (cur + isum(ok), n, lip_cnt, lip_w, lip_add,
+                        lis_w, lis_t, lsp_cnt, lsp_snap, r + 1, dead,
+                        done)
+
+            return jax.lax.while_loop(cond, body, s)
+
+        def outer_cond(s):
+            return (s[10] == 0) & (s[11] == 0)
+
+        def outer_body(s):
+            s = lip_phase(s)
+            s = tuple(
+                jnp.zeros((), _I32) if i == 9 else s[i]
+                for i in range(12)
+            )
+            s = lis_phase(s)
+            s = tuple(
+                jnp.zeros((), _I32) if i == 9 else s[i]
+                for i in range(12)
+            )
+            s = ref_phase(s)
+            (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            done = done | (n == 0).astype(_I32)
+            z = jnp.zeros((), _I32)
+            return (
+                cur, jnp.maximum(n - 1, 0),
+                lip_w + lip_add, z, z,
+                z, lis_w,
+                lsp_cnt, lsp_cnt, z,
+                dead, done,
+            )
+
+        z = jnp.zeros((), _I32)
+        init = (
+            z, max_n,
+            jnp.asarray(n_lip0, _I32), z, z,
+            z, jnp.asarray(n_lis0, _I32),
+            z, z, z,
+            z, z,
+        )
+        end = jax.lax.while_loop(outer_cond, outer_body, init)
+        stat_ref[0, 0] = end[7]  # lsp_cnt
+        stat_ref[0, 1] = end[10]
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 110 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # words
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(words, nbits, max_n):
+        words_i = jax.lax.bitcast_convert_type(
+            jnp.asarray(words, jnp.uint32), jnp.int32
+        )
+        words2d = jnp.zeros(W_ROWS * LANES, jnp.int32).at[
+            :cap_words
+        ].set(words_i).reshape(W_ROWS, LANES)
+        sc = jnp.stack(
+            [jnp.asarray(nbits, _I32), jnp.asarray(max_n, _I32)]
+        )
+        lspn, lspm, stat = call(words2d, geo2d, lipi2d, lisi2d, sc)
+        cnt = stat[0, 0]
+        nodes = (lspn & 0xFFFFFF).reshape(-1)
+        sgn = ((lspn >> 24) & 1).reshape(-1)
+        mags = lspm.reshape(-1)
+        idx = jnp.arange(LSP_ROWS * LANES, dtype=_I32)
+        live = idx < cnt
+        vals = jnp.where(sgn == 1, mags, -mags)
+        tgt = jnp.where(live, nodes, N)
+        rec = jnp.zeros(N, jnp.int32).at[tgt].set(
+            jnp.where(live, vals, 0), mode="drop"
+        )
+        return rec.reshape(c, h, w)
 
     return fn
 
