@@ -661,6 +661,29 @@ def _hybrid_fn(
                 ((1 << jnp.maximum(n - 1, 0)) + (1 << n)).astype(_I32),
             )
 
+        def shift_lanes(v, d, fill):
+            """lane q <- lane q-d (lanes < d get fill)."""
+            return jnp.where(lanes < d, fill, jnp.roll(v, d, axis=1))
+
+        def token_heads(b):
+            """Parallel tokenization of the LIP grammar {0, 1s}: a
+            log-depth scan composes the 2-state transfer functions
+            (H=awaiting token, T=inside a sig token's sign slot) so
+            head(q) = the window position q starts a token, given the
+            window itself starts one."""
+            fh = b  # f_q(H): 0->H stays head-chain, 1->T
+            ft = jnp.zeros((1, LANES), _I32)  # f_q(T) = H
+            d = 1
+            while d < LANES:
+                gh = shift_lanes(fh, d, 0)  # identity fill: img(H)=H
+                gt = shift_lanes(ft, d, 1)  # img(T)=T
+                nh = jnp.where(gh == 0, fh, ft)
+                nt = jnp.where(gt == 0, fh, ft)
+                fh, ft = nh, nt
+                d *= 2
+            sb = shift_lanes(fh, 1, 0)  # state BEFORE q, from H
+            return sb == 0
+
         def lip_phase(s):
             def cond(s):
                 return (s[9] * LANES < s[2]) & (s[10] == 0)
@@ -672,45 +695,71 @@ def _hybrid_fn(
                 vend = jnp.minimum(lip_cnt - r * LANES, LANES)
                 bv = base_val_of(n)
 
-                # inner: (cur, cpos, lsp_cnt, dead, cmask)
+                # inner: (cur, cpos, lsp_cnt, dead, cmask) — one full
+                # 128-bit window of LIP tokens per iteration
                 def icond(t):
                     return (t[1] < vend) & (t[3] == 0)
 
                 def ibody(t):
                     cur, cpos, lsp_cnt, dead, cmask = t
-                    bvec = bits32(cur)
+                    b = bits128(cur)
+                    hd = token_heads(b)
                     remaining = vend - cpos
-                    # 31-entry window so the sign bit of a hit at the
-                    # last parsed lane is still inside the funnel
-                    wlim = jnp.minimum(remaining, 31)
-                    blim = jnp.clip(nbits - cur, 0, wlim)
-                    one_at = jnp.min(
-                        jnp.where(
-                            (bvec == 1) & (lanes < blim), lanes, LANES
-                        )
+                    rk = prefix(hd.astype(_I32))  # heads before q
+                    within = rk < remaining
+                    fits = (lanes + 1 + b) <= LANES
+                    badq = jnp.min(
+                        jnp.where(hd & ~(within & fits), lanes, LANES)
                     )
-                    hit = one_at < blim
-                    run = jnp.where(hit, one_at, blim)
-                    # zero-run entries stay in LIP (bulk, via cmask=0)
-                    cur = cur + run
-                    cpos = cpos + run
-                    dead = dead | ((~hit) & (blim < wlim)).astype(_I32)
-                    # significance hit: consume sig+sign, append to LSP
-                    ok1 = hit & ((cur + 1) < nbits)
-                    sgn = ext(bvec, run + 1) == 1
-                    node = ext(row, cpos)
-                    commit = hit & ok1 & (dead == 0)
-                    rmw(lspn_ref, lsp_cnt,
-                        node | (jnp.where(sgn, 1, 0) << 24),
-                        commit, LSP_CAP)
-                    rmw(lspm_ref, lsp_cnt, bv, commit, LSP_CAP)
-                    lsp_cnt = lsp_cnt + commit.astype(_I32)
-                    cmask = cmask | jnp.where(
-                        (lanes == cpos) & hit, 1, 0
+                    parsed = hd & (lanes < badq)
+                    pos_q = cur + lanes
+                    ok0 = parsed & (pos_q < nbits)
+                    fired = ok0 & (b == 1)
+                    ok1 = fired & ((pos_q + 1) < nbits)
+                    sgn_h = jnp.roll(b, -1, axis=1)  # bit at q+1
+                    commit_h = fired & ok1
+                    dead = dead | (
+                        isum(parsed & ~ok0) + isum(fired & ~ok1) > 0
+                    ).astype(_I32)
+                    # map head-position values onto consecutive ENTRY
+                    # lanes cpos+rank via one one-hot permute
+                    dest = jnp.where(parsed, cpos + rk, -1).astype(
+                        jnp.float32
                     )
-                    dead = dead | (hit & ~ok1).astype(_I32)
-                    cur = cur + (hit.astype(_I32) << 1)
-                    cpos = cpos + hit.astype(_I32)
+                    d_t = jax.lax.dot_general(
+                        jnp.broadcast_to(dest, (LANES, LANES)), eye,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    p = (d_t == colf).astype(jnp.float32)
+
+                    def perm(v):
+                        return jnp.dot(
+                            v.astype(jnp.float32), p,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).astype(_I32)
+
+                    fired_e = perm(fired.astype(_I32))
+                    commit_e = perm(commit_h.astype(_I32))
+                    sgn_e = perm(
+                        jnp.where(commit_h, sgn_h, 0)
+                    )
+                    cmask = cmask | fired_e
+                    # LSP appends, in entry order
+                    scatter_rows(
+                        lsp_cnt,
+                        [
+                            (lspn_ref, LSP_ROWS, row | (sgn_e << 24)),
+                            (lspm_ref, LSP_ROWS,
+                             bv + jnp.zeros((1, LANES), _I32)),
+                        ],
+                        commit_e == 1,
+                    )
+                    lsp_cnt = lsp_cnt + isum(commit_h)
+                    cur = cur + isum(parsed) + isum(parsed & (b == 1))
+                    cpos = cpos + isum(parsed)
                     return (cur, cpos, lsp_cnt, dead, cmask)
 
                 z = jnp.zeros((), _I32)
