@@ -1012,6 +1012,12 @@ def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
     B = len(datas)
     if np.isscalar(ns):
         ns = [ns] * B
+    if _use_pallas_machine(c, h, w):
+        # lax.map of the Pallas bit machine: far cheaper per stream
+        # than the vmapped lockstep XLA machines (BASELINE.md)
+        from .pallas_decoder import pallas_decode_batch
+
+        return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w)
     cap_words = max(
         (max((len(d) for d in datas), default=1) + 3) // 4, 1
     )

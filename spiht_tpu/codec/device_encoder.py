@@ -774,6 +774,16 @@ def encode_device_batch(arrs: np.ndarray, ll_h: int, ll_w: int, max_bits):
 
     arrs = np.ascontiguousarray(arrs, dtype=np.int32)
     B, c, h, w = arrs.shape
+    if _use_pallas_emitter(c, h, w):
+        # lax.map of the Pallas bit machine: ~10x the vmapped XLA
+        # lockstep machines per stream on hardware (BASELINE.md)
+        from .pallas_encoder import EncCapacityOverflow
+        from .pallas_encoder import pallas_encode_batch
+
+        try:
+            return pallas_encode_batch(arrs, ll_h, ll_w, max_bits)
+        except EncCapacityOverflow:
+            pass
     if np.isscalar(max_bits):
         mbs = np.full(B, min(int(max_bits), 2**31 - 2), np.int32)
     else:

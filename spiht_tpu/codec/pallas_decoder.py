@@ -1024,3 +1024,59 @@ def pallas_decode(
     fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
     words = jnp.asarray(_words_of(data, cap_words))
     return np.asarray(fn(words, nbits, max_n))
+
+
+def pallas_decode_batch_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+    machine: str | None = None,
+):
+    """fn(words[B], nbits[B], max_ns[B]) -> rec[B] — ONE program, a
+    lax.map loop of the bit machine (vmap cannot grid-batch the SMEM
+    operands)."""
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
+    return _dec_batch_fn_cached(c, h, w, ll_h, ll_w, cap_words,
+                                interpret, machine)
+
+
+@lru_cache(maxsize=None)
+def _dec_batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret,
+                         machine):
+    fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
+                          machine)
+
+    @jax.jit
+    def bfn(words, nbits, max_ns):
+        return jax.lax.map(
+            lambda t: fn.__wrapped__(t[0], t[1], t[2]),
+            (words, nbits, max_ns),
+        )
+
+    return bfn
+
+
+def pallas_decode_batch(
+    datas, max_ns, c: int, h: int, w: int, ll_h: int, ll_w: int,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Decode B same-geometry streams in one program -> rec (B,c,h,w)."""
+    B = len(datas)
+    cap_words = max(
+        max((len(d) * 8 + 31) // 32 for d in datas), 1
+    )
+    fn = pallas_decode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
+                                interpret)
+    words = np.stack([_words_of(d, cap_words) for d in datas])
+    nbits = np.array([len(d) * 8 for d in datas], np.int32)
+    mns = np.asarray(max_ns, np.int32)
+    if mns.ndim == 0:
+        mns = np.full(B, int(mns), np.int32)
+    return np.asarray(
+        fn(jnp.asarray(words), jnp.asarray(nbits), jnp.asarray(mns))
+    )

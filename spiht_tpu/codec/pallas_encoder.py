@@ -944,6 +944,79 @@ def _cap_words_for(c, h, w, max_bits) -> int:
     return max((cap_bits + 31) // 32, 1)
 
 
+def pallas_encode_batch_fn(
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+    machine: str | None = None,
+):
+    """fn(arrs[B], max_ns[B], max_bits[B]) -> (words[B], totals[B],
+    overflows[B]) — ONE program, a lax.map loop of the bit machine
+    (vmap cannot grid-batch the SMEM operands; the machine is
+    latency-bound either way, so the loop costs only the per-element
+    input slice)."""
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
+    return _batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret,
+                            machine)
+
+
+@lru_cache(maxsize=None)
+def _batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret, machine):
+    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
+                          machine)
+
+    @jax.jit
+    def bfn(arrs, max_ns, max_bits):
+        return jax.lax.map(
+            lambda t: fn.__wrapped__(t[0], t[1], t[2]),
+            (arrs, max_ns, max_bits),
+        )
+
+    return bfn
+
+
+def pallas_encode_batch(
+    arrs: np.ndarray, ll_h: int, ll_w: int, max_bits,
+    interpret: bool = False,
+):
+    """Batched (bytes, max_n) list via one lax.map program."""
+    from .oracle import compute_max_n
+
+    arrs = np.ascontiguousarray(arrs, dtype=np.int32)
+    B, c, h, w = arrs.shape
+    if np.isscalar(max_bits):
+        mbs = np.full(B, min(int(max_bits), 2**31 - 2), np.int32)
+    else:
+        mbs = np.array(
+            [min(int(m), 2**31 - 2) for m in max_bits], np.int32
+        )
+    cap_words = _cap_words_for(c, h, w, int(mbs.max(initial=1)))
+    fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
+                                interpret)
+    mns = np.array([compute_max_n(a) for a in arrs], np.int32)
+    words, totals, ovf = fn(
+        jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
+    )
+    words = np.asarray(words)
+    totals = np.asarray(totals)
+    ovf = np.asarray(ovf)
+    if ovf.any():
+        raise EncCapacityOverflow(int(totals[int(np.argmax(ovf))]))
+    return [
+        (
+            words[b].view(np.uint8)[: (int(totals[b]) + 7) // 8]
+            .tobytes(),
+            int(mns[b]),
+        )
+        for b in range(B)
+    ]
+
+
 def pallas_encode(
     arr: np.ndarray, ll_h: int, ll_w: int, max_bits: int = 2**31 - 2,
     interpret: bool = False,

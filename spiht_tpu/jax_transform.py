@@ -363,11 +363,21 @@ def _decode_pipeline_batch_jit(
     cap_words: int,
     dtype_name: str,
     as_uint8: bool,
+    machine: str = "xla",
 ):
     base = _decode_pipeline_jit(
         key, h, w, level, c, enc_h, enc_w, ll_h, ll_w, cap_words,
-        dtype_name, as_uint8,
+        dtype_name, as_uint8, machine=machine,
     )
+    if machine == "pallas":
+        # vmap cannot grid-batch the bit machine's SMEM operands;
+        # lax.map runs it per element inside ONE program
+        return jax.jit(
+            lambda ws, nb, mn: jax.lax.map(
+                lambda t: base.__wrapped__(t[0], t[1], t[2]),
+                (ws, nb, mn),
+            )
+        )
     return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0, 0)))
 
 
@@ -393,6 +403,7 @@ def decode_pipeline_batch_fn(
     return _decode_pipeline_batch_jit(
         _settings_key(settings), h, w, level, c, enc_h, enc_w, ll_h,
         ll_w, cap_words, str(np.dtype(dtype).name), as_uint8,
+        machine=_pick_machine("SPIHT_TPU_PALLAS_DECODER"),
     )
 
 
@@ -429,8 +440,18 @@ def _encode_pipeline_batch_jit(
     level: Optional[int],
     c: int,
     dtype_name: str,
+    machine: str = "xla",
 ):
-    base = _encode_pipeline_jit(key, h, w, level, c, dtype_name)
+    base = _encode_pipeline_jit(key, h, w, level, c, dtype_name,
+                                machine=machine)
+    if machine == "pallas":
+        # vmap cannot grid-batch the bit machine's SMEM operands;
+        # lax.map runs it per element inside ONE program
+        return jax.jit(
+            lambda ims, mbs: jax.lax.map(
+                lambda t: base.__wrapped__(t[0], t[1]), (ims, mbs)
+            )
+        )
     return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0)))
 
 
@@ -451,6 +472,7 @@ def encode_pipeline_batch_fn(
     return _encode_pipeline_batch_jit(
         _settings_key(settings), h, w, level, c,
         str(np.dtype(dtype).name),
+        machine=_pick_machine("SPIHT_TPU_PALLAS_ENCODER"),
     )
 
 
