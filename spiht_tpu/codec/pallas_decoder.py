@@ -563,6 +563,39 @@ def _hybrid_fn(
                 jnp.where(lanes == lane_idx, row, 0), dtype=_I32
             )
 
+        def appendk(targets, base, slots, cap):
+            """Batch <=4 consecutive queue appends into ONE 2-row
+            masked write per target array (vs one RMW per append).
+
+            targets: [(ref, vals)] sharing positions; slots: list of
+            (offset_scalar, want_bool, value-index) per append where
+            offset is the scalar slot offset from base.
+            """
+            i0 = jnp.clip(base, 0, cap - 1)
+            r0 = i0 // LANES
+            accs = [
+                [jnp.zeros((1, LANES), _I32) for _ in targets]
+                for _ in range(2)
+            ]
+            mask = [jnp.zeros((1, LANES), jnp.bool_) for _ in range(2)]
+            for off, want, vi in slots:
+                lane0 = base + off - r0 * LANES
+                for r in range(2):
+                    m = (lanes == lane0 - r * LANES) & want
+                    mask[r] = mask[r] | m
+                    for t, (_ref, vals) in enumerate(targets):
+                        accs[r][t] = accs[r][t] | jnp.where(
+                            m, vals[vi], 0
+                        )
+            nrows = (cap + LANES - 1) // LANES
+            for r in range(2):
+                ri = jnp.clip(r0 + r, 0, nrows - 1)
+                for t, (ref, _vals) in enumerate(targets):
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        mask[r], accs[r][t], old
+                    )
+
         def prefix(v_i32):
             return jnp.dot(
                 v_i32.astype(jnp.float32), tri,
@@ -833,6 +866,10 @@ def _hybrid_fn(
                     run_children = a_fired & hc
                     koff = jnp.ones((), _I32)
                     dead_c = jnp.zeros((), jnp.bool_)
+                    lsp_vals, lsp_slots = [], []
+                    lip_vals, lip_slots = [], []
+                    csum = jnp.zeros((), _I32)
+                    isumk = jnp.zeros((), _I32)
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
                         uset = run_children & ~dead_c
@@ -845,25 +882,43 @@ def _hybrid_fn(
                         ds = bt & ~oks & ~dt
                         koff = koff + oks.astype(_I32)
                         commit = bt & oks
-                        rmw(lspn_ref, lsp_cnt,
-                            ch | (jnp.where(bs, 1, 0) << 24),
-                            commit, LSP_CAP)
-                        rmw(lspm_ref, lsp_cnt, bv, commit, LSP_CAP)
-                        lsp_cnt = lsp_cnt + commit.astype(_I32)
+                        lsp_vals.append(
+                            ch | (jnp.where(bs, 1, 0) << 24)
+                        )
+                        lsp_slots.append((csum, commit, k))
+                        csum = csum + commit.astype(_I32)
                         insig = okt & ~bt
-                        rmw(lip_ref, lip_w + lip_add, ch, insig,
-                            LIP_CAP)
-                        lip_add = lip_add + insig.astype(_I32)
+                        lip_vals.append(ch)
+                        lip_slots.append((isumk, insig, k))
+                        isumk = isumk + insig.astype(_I32)
                         dead_c = dead_c | dt | ds
+                    # one 2-row masked write per queue instead of one
+                    # RMW per appended child
+                    appendk(
+                        [(lspn_ref, lsp_vals),
+                         (lspm_ref, [bv] * 4)],
+                        lsp_cnt, lsp_slots, LSP_CAP,
+                    )
+                    lsp_cnt = lsp_cnt + csum
+                    appendk(
+                        [(lip_ref, lip_vals)],
+                        lip_w + lip_add, lip_slots, LIP_CAP,
+                    )
+                    lip_add = lip_add + isumk
                     reapp = a_fired & hgf & ~dead_c
                     rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
                     lis_t = lis_t + reapp.astype(_I32)
                     b_fired = (~is_a) & alive & hc
-                    for k in range(4):
-                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                        rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired,
-                            LIS_CAP)
-                        lis_t = lis_t + b_fired.astype(_I32)
+                    appendk(
+                        [(lis_ref,
+                          [(jnp.clip(c0 + child_off[k], 0, N - 1) << 1)
+                           | 1 for k in range(4)])],
+                        lis_t,
+                        [(jnp.asarray(k, _I32), b_fired, k)
+                         for k in range(4)],
+                        LIS_CAP,
+                    )
+                    lis_t = lis_t + jnp.where(b_fired, 4, 0)
                     cur = cur + jnp.where(alive, koff, 0)
                     cpos = cpos + hit.astype(_I32)
                     dead = dead | dead_c.astype(_I32)

@@ -537,6 +537,35 @@ def _hybrid_fn(
                 jnp.where(lanes == lane_idx, row, 0), dtype=_I32
             )
 
+        def appendk(targets, base, slots, cap):
+            """Batch <=4 consecutive queue appends into ONE 2-row
+            masked write per target array (vs one RMW per append);
+            see pallas_decoder.appendk."""
+            i0 = jnp.clip(base, 0, cap - 1)
+            r0 = i0 // LANES
+            accs = [
+                [jnp.zeros((1, LANES), _I32) for _ in targets]
+                for _ in range(2)
+            ]
+            mask = [jnp.zeros((1, LANES), jnp.bool_) for _ in range(2)]
+            for off, want, vi in slots:
+                lane0 = base + off - r0 * LANES
+                for r in range(2):
+                    m = (lanes == lane0 - r * LANES) & want
+                    mask[r] = mask[r] | m
+                    for t, (_ref, vals) in enumerate(targets):
+                        accs[r][t] = accs[r][t] | jnp.where(
+                            m, vals[vi], 0
+                        )
+            nrows = (cap + LANES - 1) // LANES
+            for r in range(2):
+                ri = jnp.clip(r0 + r, 0, nrows - 1)
+                for t, (ref, _vals) in enumerate(targets):
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        mask[r], accs[r][t], old
+                    )
+
         def prefix(v_i32):
             # exclusive prefix sum over lanes (exact: totals <= 256)
             return jnp.dot(
@@ -765,6 +794,10 @@ def _hybrid_fn(
                     run_children = a_t & fire_ok & hc
                     dead_c = jnp.zeros((), jnp.bool_)
                     nsh = jnp.clip(n, 0, 31)
+                    lsp_vals, lsp_slots = [], []
+                    lip_vals, lip_slots = [], []
+                    csum = jnp.zeros((), _I32)
+                    isumk = jnp.zeros((), _I32)
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
                         ct3 = rd(t3s_ref, ch, N)
@@ -786,26 +819,41 @@ def _hybrid_fn(
                         )
                         kk = kk + oks.astype(_I32)
                         commit = bt & oks
-                        rmw(lsp_ref, lsp_cnt, ct3, commit, LSP_CAP)
-                        lsp_cnt = lsp_cnt + commit.astype(_I32)
+                        lsp_vals.append(ct3)
+                        lsp_slots.append((csum, commit, k))
+                        csum = csum + commit.astype(_I32)
                         insig = okt & ~bt
-                        rmw(lip_ref, lip_w + lip_add, ct3, insig,
-                            LIP_CAP)
-                        lip_add = lip_add + insig.astype(_I32)
+                        lip_vals.append(ct3)
+                        lip_slots.append((isumk, insig, k))
+                        isumk = isumk + insig.astype(_I32)
                         dead_c = dead_c | dt | dsx
+                    # one 2-row masked write per queue instead of one
+                    # RMW per appended child
+                    appendk([(lsp_ref, lsp_vals)], lsp_cnt, lsp_slots,
+                            LSP_CAP)
+                    lsp_cnt = lsp_cnt + csum
+                    appendk([(lip_ref, lip_vals)], lip_w + lip_add,
+                            lip_slots, LIP_CAP)
+                    lip_add = lip_add + isumk
                     pos = seq_emit(pos, grp, kk)
                     reapp = a_t & fire_ok & hgf & ~dead_c
                     rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
                     rmw(lisv_ref, lis_t, entv, reapp, LIS_CAP)
                     lis_t = lis_t + reapp.astype(_I32)
                     b_fired = (~a_t) & fire_ok & hc
+                    bent, bval = [], []
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                        ct1 = rd(t1_ref, ch, N)
-                        rmw(lis_ref, lis_t, (ch << 1) | 1, b_fired,
-                            LIS_CAP)
-                        rmw(lisv_ref, lis_t, ct1, b_fired, LIS_CAP)
-                        lis_t = lis_t + b_fired.astype(_I32)
+                        bent.append((ch << 1) | 1)
+                        bval.append(rd(t1_ref, ch, N))
+                    appendk(
+                        [(lis_ref, bent), (lisv_ref, bval)],
+                        lis_t,
+                        [(jnp.asarray(k, _I32), b_fired, k)
+                         for k in range(4)],
+                        LIS_CAP,
+                    )
+                    lis_t = lis_t + jnp.where(b_fired, 4, 0)
                     dead = dead | dead_c.astype(_I32)
                     return (pos, f + 1, lip_add, lis_t, lsp_cnt, dead)
 

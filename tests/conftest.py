@@ -29,6 +29,28 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _bound_jit_mappings():
+    """Shed jax's compiled executables before LLVM JIT mappings exhaust
+    vm.max_map_count (default 65530).
+
+    Every XLA-CPU compile adds memory mappings and the Pallas-heavy
+    modules accumulate ~50k of them (measured), after which mmap
+    failures SEGFAULT the compiler mid-run. jax.clear_caches() does
+    unmap retired executables (verified: 2349 -> 571 maps), so clear
+    once the count passes a threshold; within-test reuse is unaffected
+    and cross-test recompiles only happen right after a shed.
+    """
+    yield
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            nmaps = sum(1 for _ in f)
+    except OSError:
+        return
+    if nmaps > 30000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
