@@ -138,8 +138,12 @@ def main() -> None:
         if on_tpu:
             from spiht_tpu.codec.pallas_decoder import pallas_decode_fn
 
+            # production shipping: int16 rec when max_n <= 13 (halves
+            # d2h; value-identical — decode_device does the same)
+            od = "int16" if int(dmn) <= 13 else "int32"
             lanes.insert(
-                0, ("dec", pallas_decode_fn(c, h, w, llh, llw, cap_words))
+                0, ("dec", pallas_decode_fn(c, h, w, llh, llw, cap_words,
+                                            out_dtype=od))
             )
         else:
             lanes[0] = ("dec", lanes[0][1])

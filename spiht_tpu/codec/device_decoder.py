@@ -938,8 +938,13 @@ def decode_device(
     if _use_pallas_machine(c, h, w):
         from .pallas_decoder import pallas_decode_fn
 
-        fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words)
-        return np.asarray(fn(_words_of(data, cap_words), nbits, int(n)))
+        # max_n <= 13 bounds |rec| < 2^14: ship int16 over the wire
+        # (halves d2h, value-identical) and upcast host-side
+        od = "int16" if int(n) <= 13 else "int32"
+        fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words,
+                              out_dtype=od)
+        rec = np.asarray(fn(_words_of(data, cap_words), nbits, int(n)))
+        return rec.astype(np.int32, copy=False) if od == "int16" else rec
     fn = decode_device_fn(c, h, w, ll_h, ll_w, cap_words)
     rec = fn(_words_of(data, cap_words), nbits, int(n))
     return np.asarray(rec)

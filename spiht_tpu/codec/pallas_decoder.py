@@ -88,19 +88,27 @@ def pallas_decode_fn(
     cap_words: int,
     interpret: bool = False,
     machine: str | None = None,
+    out_dtype: str = "int32",
 ):
-    """fn(words_u32[cap_words], nbits, max_n) -> rec i32 (c, h, w).
+    """fn(words_u32[cap_words], nbits, max_n) -> rec (c, h, w).
 
     machine: 'hybrid' (stream-run-skipping parse + vector refinement +
     deferred rec materialization; requires a duplicate-free parent map,
     else falls back) or 'seq' (one queue entry per iteration).
     SPIHT_TPU_PALLAS_DEC_MACHINE overrides the default.
+
+    out_dtype: 'int32' (default) or 'int16'. Decoded coefficients are
+    bounded by 2^(max_n+1), so for max_n <= 13 an int16 rec array is
+    value-identical and HALVES the device->host transfer — the same
+    budget-narrowed-transfer pattern the encode path uses for int8
+    coefficient shipping (BASELINE.md). Callers must check max_n.
     """
     if machine is None:
         machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
     if machine == "hybrid" and not _has_duplicate_parents(h, w, ll_h, ll_w):
-        return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
-    return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+        return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
+                          out_dtype)
+    return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret, out_dtype)
 
 
 @lru_cache(maxsize=None)
@@ -112,6 +120,7 @@ def _seq_fn(
     ll_w: int,
     cap_words: int,
     interpret: bool = False,
+    out_dtype: str = "int32",
 ):
     """fn(words_u32[cap_words], nbits, max_n) -> rec i32 (c, h, w)."""
     import jax.experimental.pallas as pl
@@ -439,7 +448,10 @@ def _seq_fn(
             [jnp.asarray(nbits, _I32), jnp.asarray(max_n, _I32)]
         )
         rec = call(words2d, geo2d, lipi2d, lisi2d, sc)
-        return rec.reshape(-1)[:N].reshape(c, h, w)
+        rec = rec.reshape(-1)[:N].reshape(c, h, w)
+        if out_dtype == "int16":
+            rec = rec.astype(jnp.int16)
+        return rec
 
     return fn
 
@@ -453,6 +465,7 @@ def _hybrid_fn(
     ll_w: int,
     cap_words: int,
     interpret: bool = False,
+    out_dtype: str = "int32",
 ):
     """Hybrid vector/sequential decode machine (production for
     duplicate-free geometries).
@@ -1064,7 +1077,10 @@ def _hybrid_fn(
         rec = jnp.zeros(N, jnp.int32).at[tgt].set(
             jnp.where(live, vals, 0), mode="drop"
         )
-        return rec.reshape(c, h, w)
+        rec = rec.reshape(c, h, w)
+        if out_dtype == "int16":
+            rec = rec.astype(jnp.int16)
+        return rec
 
     return fn
 
@@ -1090,21 +1106,23 @@ def pallas_decode_batch_fn(
     cap_words: int,
     interpret: bool = False,
     machine: str | None = None,
+    out_dtype: str = "int32",
 ):
     """fn(words[B], nbits[B], max_ns[B]) -> rec[B] — ONE program, a
     lax.map loop of the bit machine (vmap cannot grid-batch the SMEM
-    operands)."""
+    operands). out_dtype='int16' ships narrowed recs (max_n <= 13 only,
+    see pallas_decode_fn)."""
     if machine is None:
         machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
     return _dec_batch_fn_cached(c, h, w, ll_h, ll_w, cap_words,
-                                interpret, machine)
+                                interpret, machine, out_dtype)
 
 
 @lru_cache(maxsize=None)
 def _dec_batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret,
-                         machine):
+                         machine, out_dtype="int32"):
     fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
-                          machine)
+                          machine, out_dtype)
 
     @jax.jit
     def bfn(words, nbits, max_ns):
@@ -1125,13 +1143,15 @@ def pallas_decode_batch(
     cap_words = max(
         max((len(d) * 8 + 31) // 32 for d in datas), 1
     )
-    fn = pallas_decode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
-                                interpret)
     words = np.stack([_words_of(d, cap_words) for d in datas])
     nbits = np.array([len(d) * 8 for d in datas], np.int32)
     mns = np.asarray(max_ns, np.int32)
     if mns.ndim == 0:
         mns = np.full(B, int(mns), np.int32)
-    return np.asarray(
+    od = "int16" if int(mns.max()) <= 13 else "int32"
+    fn = pallas_decode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
+                                interpret, out_dtype=od)
+    rec = np.asarray(
         fn(jnp.asarray(words), jnp.asarray(nbits), jnp.asarray(mns))
     )
+    return rec.astype(np.int32, copy=False) if od == "int16" else rec

@@ -93,3 +93,21 @@ def test_pallas_decoder_extreme_magnitudes(rng):
     want = nat.decode(data, mn, 1, 16, 16, 4, 4)
     got = pallas_decode(data, mn, 1, 16, 16, 4, 4, interpret=True)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("machine", ["hybrid", "seq"])
+def test_pallas_decoder_int16_shipping(rng, machine):
+    """out_dtype='int16' (the narrowed d2h lane used when max_n <= 13)
+    is value-identical to the int32 rec on both machines."""
+    nat = runtime.load()
+    arr = (rng.standard_normal((2, 24, 24)) * 900).astype(np.int32)
+    data, mn = _encode(arr, 6, 6, 2000)
+    assert mn <= 13
+    cap = max((len(data) * 8 + 31) // 32, 1)
+    want = nat.decode(data, mn, 2, 24, 24, 6, 6)
+    fn = pallas_decode_fn(2, 24, 24, 6, 6, cap, True, machine,
+                          out_dtype="int16")
+    got = np.asarray(fn(jnp.asarray(_words_of(data, cap)), len(data) * 8,
+                        mn))
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got.astype(np.int32), want)
