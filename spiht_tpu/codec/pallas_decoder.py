@@ -655,33 +655,6 @@ def _hybrid_fn(
                         msk != 0, neww, old
                     )
 
-        def funnel(cur):
-            wi = jnp.clip(cur >> 5, 0, cap_words - 1)
-            w0 = rd(words_ref, wi, cap_words)
-            w1 = rd(words_ref, wi + 1, cap_words)
-            s = cur & 31
-            hi = jnp.where(
-                s == 0, jnp.zeros((), _I32), w1 << (32 - s)
-            )
-            return jax.lax.shift_right_logical(w0, s) | hi
-
-        def wbit(win, k):
-            return (
-                jax.lax.shift_right_logical(win, jnp.asarray(k, _I32))
-                & 1
-            ) == 1
-
-        def bits32(cur):
-            """(1,128) vector: lane l = stream bit cur+l for l<32."""
-            win = funnel(cur)
-            winv = win + jnp.zeros((1, LANES), _I32)
-            return (
-                jax.lax.shift_right_logical(
-                    winv, jnp.clip(lanes, 0, 31)
-                )
-                & 1
-            )
-
         def bits128(cur):
             """(1,128) vector of stream bits cur..cur+127."""
             wi = cur >> 5
@@ -846,95 +819,169 @@ def _hybrid_fn(
                     return (t[1] < vend) & (t[5] == 0)
 
                 def ibody(t):
+                    """Parse up to TWO fired entries per iteration from
+                    ONE 64-bit funnel window (3 word reads): each fire
+                    needs <= 9 cascade bits at window offset <= 54, so
+                    zero-run + fire + zero-run + fire all fit; both
+                    fires' queue appends merge into ONE 2-row masked
+                    write per queue array. A phase is gated on no prior
+                    death, so the straight-line pair is bit-equivalent
+                    to two sequential iterations of the 1-fire body."""
                     (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
                      fmask) = t
-                    bvec = bits32(cur)
-                    remaining = vend - cpos
-                    wlim = jnp.minimum(remaining, 32)
-                    blim = jnp.clip(nbits - cur, 0, wlim)
-                    one_at = jnp.min(
-                        jnp.where(
-                            (bvec == 1) & (lanes < blim), lanes, LANES
+                    wi = jnp.clip(cur >> 5, 0, cap_words - 1)
+                    w0 = rd(words_ref, wi, cap_words)
+                    w1 = rd(words_ref, wi + 1, cap_words)
+                    w2 = rd(words_ref, wi + 2, cap_words)
+                    s = cur & 31
+                    lo = jax.lax.shift_right_logical(w0, s) | jnp.where(
+                        s == 0, jnp.zeros((), _I32), w1 << (32 - s)
+                    )
+                    hi = jax.lax.shift_right_logical(w1, s) | jnp.where(
+                        s == 0, jnp.zeros((), _I32), w2 << (32 - s)
+                    )
+
+                    def wbit64(idx):
+                        losh = jax.lax.shift_right_logical(
+                            lo, jnp.clip(idx, 0, 31)
                         )
-                    )
-                    hit = one_at < blim
-                    run = jnp.where(hit, one_at, blim)
-                    cur = cur + run
-                    cpos = cpos + run
-                    dead = dead | ((~hit) & (blim < wlim)).astype(_I32)
-                    fmask = fmask | jnp.where(
-                        (lanes == cpos) & hit, 1, 0
-                    )
-                    # fired entry: the sequential cascade (v1 body)
-                    e = ext(erow, cpos)
-                    node = jnp.clip(e >> 1, 0, N - 1)
-                    is_a = (e & 1) == 1
-                    gw = rd(geo_ref, node, N)
-                    hc = ((gw >> 24) & 1) == 1
-                    hgf = ((gw >> 25) & 1) == 1
-                    c0 = gw & 0xFFFFFF
-                    win = funnel(cur)
-                    alive = hit & (dead == 0)
-                    a_fired = is_a & alive
-                    run_children = a_fired & hc
-                    koff = jnp.ones((), _I32)
-                    dead_c = jnp.zeros((), jnp.bool_)
-                    lsp_vals, lsp_slots = [], []
-                    lip_vals, lip_slots = [], []
+                        hish = jax.lax.shift_right_logical(
+                            hi, jnp.clip(idx - 32, 0, 31)
+                        )
+                        return (
+                            jnp.where(idx < 32, losh, hish) & 1
+                        ) == 1
+
+                    lov = lo + jnp.zeros((1, LANES), _I32)
+                    hiv = hi + jnp.zeros((1, LANES), _I32)
+
+                    def scan_vec(roff):
+                        idxv = roff + lanes
+                        v = jnp.where(
+                            idxv < 32,
+                            jax.lax.shift_right_logical(
+                                lov, jnp.clip(idxv, 0, 31)
+                            ),
+                            jax.lax.shift_right_logical(
+                                hiv, jnp.clip(idxv - 32, 0, 31)
+                            ),
+                        )
+                        return v & 1
+
+                    # merged append accumulators across both fires
+                    lsp_sl, lip_sl, lis_sl = [], [], []
                     csum = jnp.zeros((), _I32)
                     isumk = jnp.zeros((), _I32)
-                    for k in range(4):
-                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                        uset = run_children & ~dead_c
-                        okt = uset & ((cur + koff) < nbits)
-                        bt = wbit(win, koff) & okt
-                        dt = uset & ~okt
-                        koff = koff + okt.astype(_I32)
-                        oks = bt & ((cur + koff) < nbits) & ~dt
-                        bs = wbit(win, koff) & oks
-                        ds = bt & ~oks & ~dt
-                        koff = koff + oks.astype(_I32)
-                        commit = bt & oks
-                        lsp_vals.append(
-                            ch | (jnp.where(bs, 1, 0) << 24)
+                    lsum = jnp.zeros((), _I32)
+                    roff = jnp.zeros((), _I32)
+                    adv_ok = dead == 0
+                    dead_n = jnp.zeros((), jnp.bool_)
+                    for _phase in range(2):
+                        remaining = vend - cpos
+                        wlim = jnp.clip(
+                            jnp.minimum(remaining, 54 - roff), 0, 127
                         )
-                        lsp_slots.append((csum, commit, k))
-                        csum = csum + commit.astype(_I32)
-                        insig = okt & ~bt
-                        lip_vals.append(ch)
-                        lip_slots.append((isumk, insig, k))
-                        isumk = isumk + insig.astype(_I32)
-                        dead_c = dead_c | dt | ds
-                    # one 2-row masked write per queue instead of one
-                    # RMW per appended child
+                        blim = jnp.clip(nbits - cur - roff, 0, wlim)
+                        bvecp = scan_vec(roff)
+                        one_at = jnp.min(
+                            jnp.where(
+                                (bvecp == 1) & (lanes < blim),
+                                lanes, LANES,
+                            )
+                        )
+                        hit = (one_at < blim) & adv_ok
+                        run = jnp.where(
+                            adv_ok,
+                            jnp.where(one_at < blim, one_at, blim),
+                            0,
+                        )
+                        dead_s = adv_ok & (one_at >= blim) & (
+                            blim < wlim
+                        )
+                        roff = roff + run
+                        cpos_f = cpos + run
+                        cpos = cpos_f + hit.astype(_I32)
+                        fmask = fmask | jnp.where(
+                            (lanes == cpos_f) & hit, 1, 0
+                        )
+                        # fired entry: the sequential cascade
+                        e = ext(erow, cpos_f)
+                        node = jnp.clip(e >> 1, 0, N - 1)
+                        is_a = (e & 1) == 1
+                        gw = rd(geo_ref, node, N)
+                        hc = ((gw >> 24) & 1) == 1
+                        hgf = ((gw >> 25) & 1) == 1
+                        c0 = gw & 0xFFFFFF
+                        a_fired = is_a & hit
+                        run_children = a_fired & hc
+                        koff = jnp.ones((), _I32)
+                        dead_c = jnp.zeros((), jnp.bool_)
+                        scur = cur + roff
+                        for k in range(4):
+                            ch = jnp.clip(
+                                c0 + child_off[k], 0, N - 1
+                            )
+                            uset = run_children & ~dead_c
+                            okt = uset & ((scur + koff) < nbits)
+                            bt = wbit64(roff + koff) & okt
+                            dt = uset & ~okt
+                            koff = koff + okt.astype(_I32)
+                            oks = bt & ((scur + koff) < nbits) & ~dt
+                            bs = wbit64(roff + koff) & oks
+                            ds = bt & ~oks & ~dt
+                            koff = koff + oks.astype(_I32)
+                            commit = bt & oks
+                            lsp_sl.append(
+                                (csum, commit,
+                                 ch | (jnp.where(bs, 1, 0) << 24))
+                            )
+                            csum = csum + commit.astype(_I32)
+                            insig = okt & ~bt
+                            lip_sl.append((isumk, insig, ch))
+                            isumk = isumk + insig.astype(_I32)
+                            dead_c = dead_c | dt | ds
+                        reapp = a_fired & hgf & ~dead_c
+                        lis_sl.append((lsum, reapp, node << 1))
+                        lsum = lsum + reapp.astype(_I32)
+                        b_fired = (~is_a) & hit & hc
+                        for k in range(4):
+                            lis_sl.append(
+                                (lsum + k, b_fired,
+                                 (jnp.clip(c0 + child_off[k], 0,
+                                           N - 1) << 1) | 1)
+                            )
+                        lsum = lsum + jnp.where(b_fired, 4, 0)
+                        roff = roff + jnp.where(hit, koff, 0)
+                        adv_ok = adv_ok & ~dead_s & ~dead_c
+                        dead_n = dead_n | dead_s | dead_c
+                    # ONE 2-row masked write per queue for BOTH fires
                     appendk(
-                        [(lspn_ref, lsp_vals),
-                         (lspm_ref, [bv] * 4)],
-                        lsp_cnt, lsp_slots, LSP_CAP,
+                        [(lspn_ref, [v for _, _, v in lsp_sl]),
+                         (lspm_ref, [bv] * len(lsp_sl))],
+                        lsp_cnt,
+                        [(o, wnt, i)
+                         for i, (o, wnt, _) in enumerate(lsp_sl)],
+                        LSP_CAP,
                     )
                     lsp_cnt = lsp_cnt + csum
                     appendk(
-                        [(lip_ref, lip_vals)],
-                        lip_w + lip_add, lip_slots, LIP_CAP,
+                        [(lip_ref, [v for _, _, v in lip_sl])],
+                        lip_w + lip_add,
+                        [(o, wnt, i)
+                         for i, (o, wnt, _) in enumerate(lip_sl)],
+                        LIP_CAP,
                     )
                     lip_add = lip_add + isumk
-                    reapp = a_fired & hgf & ~dead_c
-                    rmw(lis_ref, lis_t, node << 1, reapp, LIS_CAP)
-                    lis_t = lis_t + reapp.astype(_I32)
-                    b_fired = (~is_a) & alive & hc
                     appendk(
-                        [(lis_ref,
-                          [(jnp.clip(c0 + child_off[k], 0, N - 1) << 1)
-                           | 1 for k in range(4)])],
+                        [(lis_ref, [v for _, _, v in lis_sl])],
                         lis_t,
-                        [(jnp.asarray(k, _I32), b_fired, k)
-                         for k in range(4)],
+                        [(o, wnt, i)
+                         for i, (o, wnt, _) in enumerate(lis_sl)],
                         LIS_CAP,
                     )
-                    lis_t = lis_t + jnp.where(b_fired, 4, 0)
-                    cur = cur + jnp.where(alive, koff, 0)
-                    cpos = cpos + hit.astype(_I32)
-                    dead = dead | dead_c.astype(_I32)
+                    lis_t = lis_t + lsum
+                    cur = cur + roff
+                    dead = dead | dead_n.astype(_I32)
                     return (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
                             fmask)
 
