@@ -936,15 +936,20 @@ def decode_device(
     nbits = len(data) * 8
     cap_words = max((nbits + 31) // 32, 1)
     if _use_pallas_machine(c, h, w):
-        from .pallas_decoder import pallas_decode_fn
+        from .pallas_decoder import machine_fits, pallas_decode_fn
 
-        # max_n <= 13 bounds |rec| < 2^14: ship int16 over the wire
-        # (halves d2h, value-identical) and upcast host-side
-        od = "int16" if int(n) <= 13 else "int32"
-        fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words,
-                              out_dtype=od)
-        rec = np.asarray(fn(_words_of(data, cap_words), nbits, int(n)))
-        return rec.astype(np.int32, copy=False) if od == "int16" else rec
+        if machine_fits(c, h, w, ll_h, ll_w, cap_words):
+            # max_n <= 13 bounds |rec| < 2^14: ship int16 over the wire
+            # (halves d2h, value-identical) and upcast host-side
+            od = "int16" if int(n) <= 13 else "int32"
+            fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words,
+                                  out_dtype=od)
+            rec = np.asarray(
+                fn(_words_of(data, cap_words), nbits, int(n))
+            )
+            return (
+                rec.astype(np.int32, copy=False) if od == "int16" else rec
+            )
     fn = decode_device_fn(c, h, w, ll_h, ll_w, cap_words)
     rec = fn(_words_of(data, cap_words), nbits, int(n))
     return np.asarray(rec)
@@ -1020,9 +1025,11 @@ def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
     if _use_pallas_machine(c, h, w):
         # lax.map of the Pallas bit machine: far cheaper per stream
         # than the vmapped lockstep XLA machines (BASELINE.md)
-        from .pallas_decoder import pallas_decode_batch
+        from .pallas_decoder import machine_fits, pallas_decode_batch
 
-        return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w)
+        cw = max(max((len(d) * 8 + 31) // 32 for d in datas), 1)
+        if machine_fits(c, h, w, ll_h, ll_w, cw):
+            return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w)
     cap_words = max(
         (max((len(d) for d in datas), default=1) + 3) // 4, 1
     )

@@ -719,11 +719,13 @@ def encode_device(
         # formulation at the 1 bpp production point on hardware
         # (BASELINE.md), works at odd-LL geometries, compiles in
         # seconds. Overflow falls through to the sorted/native path.
-        from .pallas_encoder import EncCapacityOverflow, pallas_encode
+        from .pallas_encoder import (
+            EncCapacityOverflow, MachineResourceLimit, pallas_encode,
+        )
 
         try:
             return pallas_encode(arr, ll_h, ll_w, max_bits)
-        except EncCapacityOverflow:
+        except (EncCapacityOverflow, MachineResourceLimit):
             pass
     max_n = compute_max_n(arr)
     fn = encode_device_fn(c, h, w, ll_h, ll_w)
@@ -777,12 +779,13 @@ def encode_device_batch(arrs: np.ndarray, ll_h: int, ll_w: int, max_bits):
     if _use_pallas_emitter(c, h, w):
         # lax.map of the Pallas bit machine: ~10x the vmapped XLA
         # lockstep machines per stream on hardware (BASELINE.md)
-        from .pallas_encoder import EncCapacityOverflow
-        from .pallas_encoder import pallas_encode_batch
+        from .pallas_encoder import (
+            EncCapacityOverflow, MachineResourceLimit, pallas_encode_batch,
+        )
 
         try:
             return pallas_encode_batch(arrs, ll_h, ll_w, max_bits)
-        except EncCapacityOverflow:
+        except (EncCapacityOverflow, MachineResourceLimit):
             pass
     if np.isscalar(max_bits):
         mbs = np.full(B, min(int(max_bits), 2**31 - 2), np.int32)

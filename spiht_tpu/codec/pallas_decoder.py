@@ -57,6 +57,46 @@ def _rows(n: int) -> int:
     return max((n + LANES - 1) // LANES, 1)
 
 
+class MachineResourceLimit(RuntimeError):
+    """The geometry's queue/table state exceeds the VMEM the bit machine
+    may request — callers fall back to the XLA formulations."""
+
+
+# see pallas_encoder._VMEM_BUDGET_BYTES — same cliff, same rationale
+_VMEM_BUDGET_BYTES = 128 << 20
+
+
+def machine_vmem_bytes(
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> int:
+    """VMEM bytes the decode machines request for this geometry — the
+    max over the seq and hybrid layouts (conservative union of both
+    builders' formulas)."""
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    lip_rows = _rows(g["ent_bound"] + 1)
+    lis_rows = _rows(2 * g["lis_bound"] + 1)
+    lsp_rows = _rows(g["ent_bound"] + 1)
+    li_rows = _rows(max(int(g["lip_init"].size), 1))
+    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    return 4 * LANES * (
+        _rows(N) + lip_rows + lis_rows + 2 * lsp_rows + _rows(N)
+        + _rows(cap_words) + li_rows + ls_rows + 256
+    )
+
+
+def machine_fits(
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> bool:
+    """Whether the decode bit machine's state fits the VMEM budget."""
+    if c * h * w >= 1 << 24:  # packed-entry representation bound
+        return False
+    return (
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
 def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
     out = np.zeros(rows * LANES, dtype)
     out[: a.size] = a

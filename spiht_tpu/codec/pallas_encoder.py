@@ -44,6 +44,11 @@ class EncCapacityOverflow(RuntimeError):
     """The stream hit the static word-buffer capacity before max_bits."""
 
 
+class MachineResourceLimit(RuntimeError):
+    """The geometry's queue/table state exceeds the VMEM the bit machine
+    may request — callers fall back to the XLA formulations."""
+
+
 def _rows(n: int) -> int:
     return max((n + LANES - 1) // LANES, 1)
 
@@ -57,6 +62,46 @@ def _pad2d(a: np.ndarray, rows: int, dtype) -> np.ndarray:
 # bits per coefficient cell that provably cover any stream (see
 # device_encoder._CAP_BITS_PER_CELL discussion / ADVICE fix)
 _CAP_BITS_PER_CELL = 40
+
+# Geometries whose state sum exceeds this route to the XLA machines
+# instead of risking a Mosaic resource failure minutes into a remote
+# compile. Anchors: 3x1024x1024/L7 (enc dims 1053^2, 114.3 MB by this
+# formula at 1 bpp) compiles and runs bit-exact on v5e hardware
+# (BASELINE.md); 2048-class geometries (~430 MB) cannot fit. The static
+# sum overcounts Mosaic's real usage slightly (the 114.3 MB case ran
+# under a 110 MB vmem_limit request), so chip VMEM is the honest bound.
+_VMEM_BUDGET_BYTES = 128 << 20
+
+
+def machine_vmem_bytes(
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> int:
+    """Exact VMEM bytes the hybrid machine requests for this geometry
+    (mirrors ``_hybrid_fn``'s table/queue layout; the seq machine needs
+    strictly less)."""
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    lip_rows = _rows(g["ent_bound"] + 1)
+    lis_rows = _rows(2 * g["lis_bound"] + 1)
+    lsp_rows = _rows(g["ent_bound"] + 1)
+    li_rows = _rows(max(int(g["lip_init"].size), 1))
+    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    return 4 * LANES * (
+        3 * _rows(N) + lip_rows + 2 * lis_rows + lsp_rows
+        + _rows(cap_words) + li_rows + 2 * ls_rows + 256
+    )
+
+
+def machine_fits(
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> bool:
+    """Whether the bit machine's state fits the VMEM budget."""
+    if c * h * w >= 1 << 24:  # packed-entry representation bound
+        return False
+    return (
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+        <= _VMEM_BUDGET_BYTES
+    )
 
 
 def pallas_encode_fn(
@@ -1044,6 +1089,8 @@ def pallas_encode_batch(
             [min(int(m), 2**31 - 2) for m in max_bits], np.int32
         )
     cap_words = _cap_words_for(c, h, w, int(mbs.max(initial=1)))
+    if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+        raise MachineResourceLimit(f"{c}x{h}x{w}")
     fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
                                 interpret)
     mns = np.array([compute_max_n(a) for a in arrs], np.int32)
@@ -1076,6 +1123,8 @@ def pallas_encode(
     c, h, w = arr.shape
     max_bits = min(int(max_bits), 2**31 - 2)
     cap_words = _cap_words_for(c, h, w, max_bits)
+    if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+        raise MachineResourceLimit(f"{c}x{h}x{w}")
     fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
     mn = compute_max_n(arr)
     words, total, overflow = fn(jnp.asarray(arr), mn, max_bits)

@@ -258,6 +258,11 @@ def _decode_pipeline_jit(
     inv = _inverse_jit(key, h, w, level, dtype_name, as_uint8)
 
     if machine == "pallas":
+        from .codec.pallas_decoder import machine_fits
+
+        if not machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words):
+            machine = "xla"  # state exceeds VMEM: XLA machine instead
+    if machine == "pallas":
         from .codec.pallas_decoder import pallas_decode_fn
 
         # CPU backends get Mosaic interpret mode (test path)
@@ -329,6 +334,14 @@ def _encode_pipeline_jit(
     slices, enc_h, enc_w = get_slices_and_h_w(h, w, settings, level)
     ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
     ana = _forward_jit(key, level, False, dtype_name)
+    if machine == "pallas":
+        from .codec.pallas_encoder import _cap_words_for, machine_fits
+
+        if not machine_fits(
+            c, enc_h, enc_w, ll_h, ll_w,
+            _cap_words_for(c, enc_h, enc_w, 2**31 - 2),
+        ):
+            machine = "xla"  # state exceeds VMEM: XLA machine instead
     if machine == "pallas":
         from .codec.pallas_encoder import _cap_words_for, pallas_encode_fn
 
