@@ -46,7 +46,10 @@ import jax.numpy as jnp
 
 from .device_decoder import _dec_geom, _words_of
 
-__all__ = ["pallas_decode_fn", "pallas_decode"]
+__all__ = [
+    "pallas_decode_fn", "pallas_decode",
+    "MachineResourceLimit", "machine_vmem_bytes", "machine_fits",
+]
 
 LANES = 128
 _I32 = jnp.int32

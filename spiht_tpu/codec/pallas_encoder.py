@@ -31,7 +31,10 @@ import jax.numpy as jnp
 from .device_decoder import _dec_geom
 from .maps import significance_maps
 
-__all__ = ["pallas_encode_fn", "pallas_encode", "EncCapacityOverflow"]
+__all__ = [
+    "pallas_encode_fn", "pallas_encode", "EncCapacityOverflow",
+    "MachineResourceLimit", "machine_vmem_bytes", "machine_fits",
+]
 
 LANES = 128
 _I32 = jnp.int32
