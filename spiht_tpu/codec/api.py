@@ -196,11 +196,12 @@ def encode_image_device(
     image = np.asarray(image)
     _validate_image(image)
     c, h, w = image.shape
+    cap_hint = max_bits  # budget-narrowed stream buffer (None = full)
     if max_bits is None:
         max_bits = _MAX_BITS_DEFAULT
     try:
         fn = jax_transform.encode_pipeline_fn(
-            spiht_settings, h, w, level, c
+            spiht_settings, h, w, level, c, max_bits=cap_hint
         )
     except ValueError:
         return encode_image(image, spiht_settings, level, max_bits)
@@ -248,7 +249,8 @@ def encode_images_device(
         mbs = [int(m) for m in max_bits]
     try:
         fn = jax_transform.encode_pipeline_batch_fn(
-            spiht_settings, h, w, level, c
+            spiht_settings, h, w, level, c,
+            max_bits=None if max_bits is None else max(mbs),
         )
     except ValueError:  # odd-LL geometry
         return encode_images(images, spiht_settings, level, max_bits)

@@ -311,6 +311,23 @@ def decode_pipeline_fn(
     )
 
 
+def _cap_bits_hint(max_bits: Optional[int]) -> int:
+    """Static stream-capacity key for the encode pipelines: the caller's
+    bit budget rounded up to a power of two (>= 4096), so nearby budgets
+    share one compiled program. None = full provable capacity. A
+    narrowed capacity keeps large geometries (e.g. 3x1024x1024, whose
+    full 40-bits/cell buffer would push the machine past the VMEM
+    budget) on the Pallas machine; runtime max_bits beyond the hint
+    raises the overflow flag and callers fall back."""
+    if max_bits is None:
+        return 2**31 - 2
+    cap = 4096
+    mb = min(int(max_bits), 2**31 - 2)
+    while cap < mb:
+        cap <<= 1
+    return cap
+
+
 @lru_cache(maxsize=None)
 def _encode_pipeline_jit(
     key: Tuple,
@@ -320,6 +337,7 @@ def _encode_pipeline_jit(
     c: int,
     dtype_name: str,
     machine: str = "xla",
+    cap_bits: int = 2**31 - 2,
 ):
     from .codec.device_encoder import device_max_n, encode_device_fn
 
@@ -337,17 +355,14 @@ def _encode_pipeline_jit(
     if machine == "pallas":
         from .codec.pallas_encoder import _cap_words_for, machine_fits
 
-        if not machine_fits(
-            c, enc_h, enc_w, ll_h, ll_w,
-            _cap_words_for(c, enc_h, enc_w, 2**31 - 2),
-        ):
+        cap_words = _cap_words_for(c, enc_h, enc_w, cap_bits)
+        if not machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words):
             machine = "xla"  # state exceeds VMEM: XLA machine instead
     if machine == "pallas":
-        from .codec.pallas_encoder import _cap_words_for, pallas_encode_fn
+        from .codec.pallas_encoder import pallas_encode_fn
 
         enc = pallas_encode_fn(
-            c, enc_h, enc_w, ll_h, ll_w,
-            _cap_words_for(c, enc_h, enc_w, 2**31 - 2),
+            c, enc_h, enc_w, ll_h, ll_w, cap_words,
             interpret=jax.default_backend() == "cpu",
         )
     else:
@@ -427,6 +442,7 @@ def encode_pipeline_fn(
     level: Optional[int],
     c: int = 3,
     dtype: Optional[str] = None,
+    max_bits: Optional[int] = None,
 ):
     """ONE jitted program for the whole encode: color -> DWT -> quantize
     -> max_n (exact f32-truncation semantics, no transcendental) ->
@@ -436,12 +452,17 @@ def encode_pipeline_fn(
     host path at matching transform dtype. Requires even LL dims (the
     device encoder's parent-gather formulation).
     fn(image, max_bits) -> (words_u32, total_bits, overflow, max_n).
+
+    max_bits: optional bit-budget hint that narrows the static stream
+    buffer (see `_cap_bits_hint`); runtime budgets beyond the hint set
+    the overflow flag instead of emitting.
     """
     dtype = dtype or str(np.dtype(default_dtype()).name)
     return _encode_pipeline_jit(
         _settings_key(settings), h, w, level, c,
         str(np.dtype(dtype).name),
         machine=_pick_machine("SPIHT_TPU_PALLAS_ENCODER"),
+        cap_bits=_cap_bits_hint(max_bits),
     )
 
 
@@ -454,9 +475,10 @@ def _encode_pipeline_batch_jit(
     c: int,
     dtype_name: str,
     machine: str = "xla",
+    cap_bits: int = 2**31 - 2,
 ):
     base = _encode_pipeline_jit(key, h, w, level, c, dtype_name,
-                                machine=machine)
+                                machine=machine, cap_bits=cap_bits)
     if machine == "pallas":
         # vmap cannot grid-batch the bit machine's SMEM operands;
         # lax.map runs it per element inside ONE program
@@ -475,17 +497,22 @@ def encode_pipeline_batch_fn(
     level: Optional[int],
     c: int = 3,
     dtype: Optional[str] = None,
+    max_bits: Optional[int] = None,
 ):
     """Batched fused encode: ONE program vmapping the whole
     image->stream pipeline over a same-shape batch.
     fn(images[B], max_bits[B]) -> (words[B], totals[B], overflows[B],
     max_ns[B]) — per-image max_n and budgets, B streams out.
+
+    max_bits: optional hint covering the LARGEST per-image budget; it
+    narrows the static stream buffer (see `_cap_bits_hint`).
     """
     dtype = dtype or str(np.dtype(default_dtype()).name)
     return _encode_pipeline_batch_jit(
         _settings_key(settings), h, w, level, c,
         str(np.dtype(dtype).name),
         machine=_pick_machine("SPIHT_TPU_PALLAS_ENCODER"),
+        cap_bits=_cap_bits_hint(max_bits),
     )
 
 

@@ -53,6 +53,37 @@ def test_fused_encode_pipeline_pallas_matches_xla(monkeypatch):
     assert bp == bx
 
 
+def test_fused_encode_pipeline_budget_narrowed_cap(monkeypatch):
+    """A max_bits hint narrows the static stream buffer without changing
+    the emitted bytes; a runtime budget beyond the hint raises the
+    overflow flag instead of silently truncating."""
+    im = _image(seed=7)
+    settings = SpihtSettings()
+    mb = 5000
+
+    monkeypatch.setenv("SPIHT_TPU_PALLAS_ENCODER", "1")
+    full = jax_transform.encode_pipeline_fn(
+        settings, 64, 64, 3, 3, dtype="float32"
+    )
+    wf, tf, of, nf = full(jnp.asarray(im), mb)
+
+    narrow = jax_transform.encode_pipeline_fn(
+        settings, 64, 64, 3, 3, dtype="float32", max_bits=mb
+    )
+    assert narrow is not full  # distinct cap key
+    wn, tn, on, nn = narrow(jnp.asarray(im), mb)
+    assert int(tn) == int(tf) and int(nn) == int(nf)
+    assert not bool(on) and not bool(of)
+    nbytes = (int(tf) + 7) // 8
+    assert (
+        np.asarray(wn).view(np.uint8)[:nbytes].tobytes()
+        == np.asarray(wf).view(np.uint8)[:nbytes].tobytes()
+    )
+    # the hint rounds up to 8192 bits; a 100k budget overflows it
+    _, _, over, _ = narrow(jnp.asarray(im), 100_000)
+    assert bool(over)
+
+
 def test_fused_decode_pipeline_pallas_matches_xla(monkeypatch):
     im = _image(seed=5)
     settings = SpihtSettings()
