@@ -968,7 +968,9 @@ def _use_pallas_machine(c: int, h: int, w: int) -> bool:
     try:
         import jax
 
-        return jax.default_backend() not in ("cpu",)
+        # 'tpu' exactly, not merely != 'cpu': a Mosaic lowering failure
+        # on another accelerator is not in the caught fallback set.
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

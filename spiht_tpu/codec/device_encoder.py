@@ -755,7 +755,10 @@ def _use_pallas_emitter(c: int, h: int, w: int) -> bool:
     if c * h * w >= 1 << 24:
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # 'tpu' exactly, not merely != 'cpu': on another accelerator a
+        # Mosaic lowering failure is not in the caught fallback set and
+        # would crash encode_device instead of falling through.
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

@@ -1117,7 +1117,7 @@ def pallas_encode_batch(
 
 def pallas_encode(
     arr: np.ndarray, ll_h: int, ll_w: int, max_bits: int = 2**31 - 2,
-    interpret: bool = False,
+    interpret: bool = False, machine: str | None = None,
 ):
     """(bytes, max_n) via the Pallas emission machine."""
     from .oracle import compute_max_n
@@ -1128,7 +1128,7 @@ def pallas_encode(
     cap_words = _cap_words_for(c, h, w, max_bits)
     if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
         raise MachineResourceLimit(f"{c}x{h}x{w}")
-    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret, machine)
     mn = compute_max_n(arr)
     words, total, overflow = fn(jnp.asarray(arr), mn, max_bits)
     if bool(overflow):

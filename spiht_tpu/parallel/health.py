@@ -73,23 +73,33 @@ def probe_devices(
 
     devs = list(jax.devices()) if devices is None else list(devices)
     out: List[DeviceHealth] = []
-    with _futures.ThreadPoolExecutor(max_workers=max(len(devs), 1)) as ex:
+    # No `with` block: ThreadPoolExecutor.__exit__ calls shutdown(wait=True),
+    # which would JOIN a wedged probe thread and void the deadline — the
+    # exact hang this function exists to contain. One shared deadline via
+    # futures.wait (not per-future result(timeout=...), which compounds to
+    # k*timeout for k wedged devices); stuck threads are then abandoned
+    # with shutdown(wait=False).
+    ex = _futures.ThreadPoolExecutor(max_workers=max(len(devs), 1))
+    try:
         futs = {ex.submit(_timed, probe_fn, d): d for d in devs}
+        done, _ = _futures.wait(futs, timeout=timeout_s)
         for fut, d in futs.items():
-            try:
-                latency = fut.result(timeout=timeout_s)
-                out.append(DeviceHealth(d, True, latency))
-            except _futures.TimeoutError:
+            if fut not in done:
                 out.append(
                     DeviceHealth(
                         d, False, timeout_s,
                         f"probe exceeded {timeout_s}s deadline",
                     )
                 )
+                continue
+            try:
+                out.append(DeviceHealth(d, True, fut.result()))
             except Exception as e:  # runtime error from the device
                 out.append(
                     DeviceHealth(d, False, 0.0, f"{type(e).__name__}: {e}")
                 )
+    finally:
+        ex.shutdown(wait=False)
     return out
 
 
@@ -110,18 +120,36 @@ def healthy_devices(
             if h.ok]
 
 
+# Message fragments of the bare RuntimeErrors JAX raises for dead/wedged
+# clients. A bare RuntimeError WITHOUT one of these is a program bug and
+# must propagate, not be retried/degraded.
+_RUNTIME_ERROR_PATTERNS = (
+    "DEVICE_UNAVAILABLE",
+    "UNAVAILABLE",
+    "dead client",
+    "client is dead",
+    "device error",
+    "DEADLINE_EXCEEDED",
+    "INTERNAL: ",
+)
+
+
 def _is_device_error(exc: BaseException) -> bool:
     """Accelerator runtime failures worth retrying (vs. program bugs).
 
     XlaRuntimeError subclasses differ across jaxlib versions; match on
-    the canonical names plus the generic RuntimeError JAX raises for
-    dead clients. ValueError/TypeError (tracing/shape bugs) are never
-    retried.
+    the canonical names. A *bare* RuntimeError only counts when its
+    message matches a known client-death pattern — otherwise retrying
+    would mask real defects as 'device wedged'. ValueError/TypeError
+    (tracing/shape bugs) are never retried.
     """
     names = {c.__name__ for c in type(exc).__mro__}
-    return bool(
-        {"XlaRuntimeError", "JaxRuntimeError", "RuntimeError"} & names
-    )
+    if {"XlaRuntimeError", "JaxRuntimeError"} & names:
+        return True
+    if "RuntimeError" in names:
+        msg = str(exc)
+        return any(pat in msg for pat in _RUNTIME_ERROR_PATTERNS)
+    return False
 
 
 def run_with_failover(

@@ -58,7 +58,7 @@ def test_failover_retries_device_errors_then_succeeds():
     def step():
         calls["n"] += 1
         if calls["n"] < 3:
-            raise RuntimeError("xla runtime wedged")
+            raise RuntimeError("UNAVAILABLE: xla runtime wedged")
         return "ok"
 
     out = health.run_with_failover(
@@ -80,9 +80,23 @@ def test_failover_does_not_retry_program_bugs():
     assert calls["n"] == 1
 
 
+def test_failover_does_not_retry_bare_runtime_error():
+    """A bare RuntimeError without a client-death message is a program
+    bug, not a wedged device — it must propagate on the first attempt."""
+    calls = {"n": 0}
+
+    def step():
+        calls["n"] += 1
+        raise RuntimeError("dict changed size during iteration")
+
+    with pytest.raises(RuntimeError):
+        health.run_with_failover(step, retries=5, backoff_s=0.0)
+    assert calls["n"] == 1
+
+
 def test_failover_exhausts_retries():
     def step():
-        raise RuntimeError("still dead")
+        raise RuntimeError("UNAVAILABLE: still dead")
 
     with pytest.raises(RuntimeError):
         health.run_with_failover(step, retries=2, backoff_s=0.0)
@@ -148,7 +162,7 @@ def test_robust_encode_degrades_to_host_on_persistent_device_error(
     settings = SpihtSettings()
 
     def always_dead(imgs, s, **kw):
-        raise RuntimeError("device wedged")
+        raise RuntimeError("UNAVAILABLE: TPU device error")
 
     out = health.robust_encode_images(
         images, settings, level=3, max_bits=2000, chunk=4,

@@ -16,6 +16,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.parametrize("machine", ["hybrid", "seq"])
 @pytest.mark.parametrize(
     "shape,ll",
     [
@@ -26,24 +27,33 @@ pytestmark = pytest.mark.skipif(
         ((2, 21, 13), (3, 2)),
     ],
 )
-def test_pallas_encoder_full_stream(rng, shape, ll):
+def test_pallas_encoder_full_stream(rng, shape, ll, machine):
     nat = runtime.load()
     arr = (rng.standard_normal(shape) * rng.choice([7, 400, 3000])).astype(
         np.int32
     )
     want, wmn = nat.encode(arr, *ll, 2**31 - 2)
-    got, gmn = pallas_encode(arr, *ll, interpret=True)
+    got, gmn = pallas_encode(arr, *ll, interpret=True, machine=machine)
     assert gmn == wmn
     assert got == want
 
 
-def test_pallas_encoder_budget_cuts(rng):
+@pytest.mark.parametrize("machine", ["hybrid", "seq"])
+@pytest.mark.parametrize(
+    "shape,ll",
+    [
+        ((3, 24, 24), (6, 6)),
+        ((1, 19, 19), (5, 5)),  # odd LL: duplicate-parent mid-symbol cuts
+    ],
+)
+def test_pallas_encoder_budget_cuts(rng, shape, ll, machine):
     """max_bits stops mid-symbol exactly like the reference."""
     nat = runtime.load()
-    arr = (rng.standard_normal((3, 24, 24)) * 2000).astype(np.int32)
+    arr = (rng.standard_normal(shape) * 2000).astype(np.int32)
     for mb in (1, 2, 64, 333, 1000, 2897):
-        want, wmn = nat.encode(arr, 6, 6, mb)
-        got, gmn = pallas_encode(arr, 6, 6, mb, interpret=True)
+        want, wmn = nat.encode(arr, *ll, mb)
+        got, gmn = pallas_encode(arr, *ll, mb, interpret=True,
+                                 machine=machine)
         assert gmn == wmn and got == want, f"mb={mb}"
 
 
