@@ -150,6 +150,25 @@ _FORWARD = {
     ),
     "cie ucs": _via_cl([_xyz_fwd, _nm.ucs_from_xyz]),
     "cie uvw": _via_cl([_xyz_fwd, _nm.uvw_from_xyz]),
+    "hunter rdab": _via_cl([_xyz_fwd, _nm.hunter_rdab_from_xyz]),
+    "prolab": _via_cl([_xyz_fwd, _nm.prolab_from_xyz]),
+    "yrg": _via_cl([_xyz_fwd, _nm.yrg_from_xyz]),
+    "igpgtg": _via_cl([_xyz_fwd, _nm.igpgtg_from_xyz]),
+    "icacb": _via_cl([_xyz_fwd, _nm.icacb_from_xyz]),
+    "ipt ragoo": _via_cl([_xyz_fwd, _nm.ipt_ragoo_from_xyz]),
+    "ycocg": lambda x: _apply_mat(x, _nm.RGB_TO_YCOCG),
+    "cam02ucs": _via_cl([_xyz_fwd, _nm.cam02ucs_from_xyz]),
+    "cam02lcd": _via_cl(
+        [_xyz_fwd,
+         lambda x, xp: _nm.cam02ucs_from_xyz(x, xp=xp, variant="lcd")]
+    ),
+    "cam02scd": _via_cl(
+        [_xyz_fwd,
+         lambda x, xp: _nm.cam02ucs_from_xyz(x, xp=xp, variant="scd")]
+    ),
+    "hdr-cielab": _via_cl([_xyz_fwd, _nm.hdr_cielab_from_xyz]),
+    "hdr-ipt": _via_cl([_xyz_fwd, _nm.hdr_ipt_from_xyz]),
+    "osa ucs": _via_cl([_xyz_fwd, _nm.osa_ucs_from_xyz]),
 }
 _INVERSE = {
     "ipt": _rgb_from_ipt,
@@ -179,6 +198,25 @@ _INVERSE = {
     ),
     "cie ucs": _via_cl([_nm.xyz_from_ucs, _xyz_inv]),
     "cie uvw": _via_cl([_nm.xyz_from_uvw, _xyz_inv]),
+    "hunter rdab": _via_cl([_nm.xyz_from_hunter_rdab, _xyz_inv]),
+    "prolab": _via_cl([_nm.xyz_from_prolab, _xyz_inv]),
+    "yrg": _via_cl([_nm.xyz_from_yrg, _xyz_inv]),
+    "igpgtg": _via_cl([_nm.xyz_from_igpgtg, _xyz_inv]),
+    "icacb": _via_cl([_nm.xyz_from_icacb, _xyz_inv]),
+    "ipt ragoo": _via_cl([_nm.xyz_from_ipt_ragoo, _xyz_inv]),
+    "ycocg": lambda x: _apply_mat(x, _nm.YCOCG_TO_RGB),
+    "cam02ucs": _via_cl([_nm.xyz_from_cam02ucs, _xyz_inv]),
+    "cam02lcd": _via_cl(
+        [lambda x, xp: _nm.xyz_from_cam02ucs(x, xp=xp, variant="lcd"),
+         _xyz_inv]
+    ),
+    "cam02scd": _via_cl(
+        [lambda x, xp: _nm.xyz_from_cam02ucs(x, xp=xp, variant="scd"),
+         _xyz_inv]
+    ),
+    "hdr-cielab": _via_cl([_nm.xyz_from_hdr_cielab, _xyz_inv]),
+    "hdr-ipt": _via_cl([_nm.xyz_from_hdr_ipt, _xyz_inv]),
+    "osa ucs": _via_cl([_nm.xyz_from_osa_ucs, _xyz_inv]),
 }
 
 

@@ -601,6 +601,468 @@ def xyz_from_cam16ucs(im_cl, xp=np, variant="ucs"):
     return (rgb @ xp.asarray(M16_INV.T, dtype=im_cl.dtype)) / 100.0
 
 
+# ---------------------------------------------------------------------------
+# round 3: full colour.COLOURSPACE_MODELS coverage (verdict item 6). The
+# reference accepts every model in colour.COLOURSPACE_MODELS
+# (/root/reference/spiht/color_models.py:4-13, colour-science==0.4.4);
+# this block completes the native table: Hunter Rdab, ProLab, Yrg,
+# IgPgTg, ICaCb, IPT Ragoo, CAM02-(UCS|LCD|SCD), hdr-CIELAB, hdr-IPT,
+# OSA UCS, plus YCoCg. All constants are from the cited primary
+# publications; every model has an exact (or Newton-converged, for
+# OSA UCS) inverse, and all are xp-generic so the jittable mirrors in
+# jax_models.py share these definitions.
+# ---------------------------------------------------------------------------
+
+
+def hunter_rdab_from_xyz(im_cl, xp=np):
+    """Hunter Rd,a,b scale (HunterLab applications note, Hunter 1966):
+    Rd = 100 Y/Yn; a, b share Hunter Lab's Ka/Kb but normalize by Y/Yn
+    instead of sqrt(Y/Yn). D65 white, domain [0, 1] XYZ."""
+    u = im_cl[..., 0] / D65_WHITE[0]
+    v = im_cl[..., 1] / D65_WHITE[1]
+    w = im_cl[..., 2] / D65_WHITE[2]
+    safe = xp.where(v == 0, 1.0, v)
+    a = xp.where(v == 0, 0.0, _HUNTER_KA * (u - v) / safe)
+    b = xp.where(v == 0, 0.0, _HUNTER_KB * (v - w) / safe)
+    return xp.stack([100.0 * v, a, b], axis=-1)
+
+
+def xyz_from_hunter_rdab(im_cl, xp=np):
+    Rd, a, b = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    v = Rd / 100.0
+    u = v + a * v / _HUNTER_KA
+    w = v - b * v / _HUNTER_KB
+    return xp.stack(
+        [u * D65_WHITE[0], v * D65_WHITE[1], w * D65_WHITE[2]], axis=-1
+    )
+
+
+# ProLab (Konovalenko, Smagina, Nikolaev & Nikolaev, IEEE Access 2021):
+# projective transform of white-normalized XYZ. At the white point the
+# rows give exactly (100, 0, 0) — a built-in consistency check.
+PROLAB_Q = np.array(
+    [
+        [75.54, 486.66, 167.39],
+        [617.72, -595.45, -22.27],
+        [48.34, 194.94, -243.28],
+    ]
+)
+PROLAB_q = np.array([0.7554, 3.8666, 1.6739])
+PROLAB_Q_INV = np.linalg.inv(PROLAB_Q)
+
+
+def prolab_from_xyz(im_cl, xp=np):
+    xyz_n = im_cl / D65_WHITE
+    num = xyz_n @ xp.asarray(PROLAB_Q.T, dtype=im_cl.dtype)
+    den = xyz_n @ xp.asarray(PROLAB_q, dtype=im_cl.dtype) + 1.0
+    return num / den[..., None]
+
+
+def xyz_from_prolab(im_cl, xp=np):
+    y0 = im_cl @ xp.asarray(PROLAB_Q_INV.T, dtype=im_cl.dtype)
+    qy = y0 @ xp.asarray(PROLAB_q, dtype=im_cl.dtype)
+    xyz_n = y0 / (1.0 - qy)[..., None]
+    return xyz_n * D65_WHITE
+
+
+# Yrg (Kirk 2019, "Chromaticity coordinates for graphic arts based on
+# CIE 2006 LMS"): luminance Y from L, M plus (r, g) cone chromaticities
+# through a fixed affine map. Exactly invertible by construction.
+YRG_XYZ_TO_LMS = np.array(
+    [
+        [0.257085, 0.859943, -0.031061],
+        [-0.394427, 1.175800, 0.106423],
+        [0.064856, -0.076250, 0.559067],
+    ]
+)
+YRG_LMS_FROM_XYZ_INV = np.linalg.inv(YRG_XYZ_TO_LMS)
+_YRG_YL, _YRG_YM = 0.68990272, 0.34832189
+_YRG_A = np.array([[1.0671, -0.6873], [-0.0362, 1.7182]])
+_YRG_A_INV = np.linalg.inv(_YRG_A)
+_YRG_OFF = np.array([0.02062, -0.05155])
+
+
+def yrg_from_xyz(im_cl, xp=np):
+    lms = im_cl @ xp.asarray(YRG_XYZ_TO_LMS.T, dtype=im_cl.dtype)
+    L, M, S = lms[..., 0], lms[..., 1], lms[..., 2]
+    Y = _YRG_YL * L + _YRG_YM * M
+    t = L + M + S
+    safe = xp.where(t == 0, 1.0, t)
+    l = xp.where(t == 0, 0.0, L / safe)
+    m = xp.where(t == 0, 0.0, M / safe)
+    r = _YRG_A[0, 0] * l + _YRG_A[0, 1] * m + _YRG_OFF[0]
+    g = _YRG_A[1, 0] * l + _YRG_A[1, 1] * m + _YRG_OFF[1]
+    return xp.stack([Y, r, g], axis=-1)
+
+
+def xyz_from_yrg(im_cl, xp=np):
+    Y, r, g = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    rr = r - _YRG_OFF[0]
+    gg = g - _YRG_OFF[1]
+    l = _YRG_A_INV[0, 0] * rr + _YRG_A_INV[0, 1] * gg
+    m = _YRG_A_INV[1, 0] * rr + _YRG_A_INV[1, 1] * gg
+    d = _YRG_YL * l + _YRG_YM * m
+    safe = xp.where(d == 0, 1.0, d)
+    t = xp.where(d == 0, 0.0, Y / safe)  # L+M+S
+    lms = xp.stack([t * l, t * m, t * (1.0 - l - m)], axis=-1)
+    return lms @ xp.asarray(YRG_LMS_FROM_XYZ_INV.T, dtype=im_cl.dtype)
+
+
+# IgPgTg (Hellwig & Fairchild 2020, "Using Gaussian spectra to derive a
+# hue-linear colour space"): XYZ -> LMS, per-cone normalization, 0.427
+# exponent, opponent matrix.
+IGPGTG_XYZ_TO_LMS = np.array(
+    [
+        [2.968, 2.741, -0.649],
+        [1.237, 5.969, -0.173],
+        [0.318, 0.387, 2.311],
+    ]
+)
+IGPGTG_LMS_NORM = np.array([18.36, 21.46, 19435.0])
+IGPGTG_LMS_TO_IGPGTG = np.array(
+    [
+        [0.117, 1.464, 0.130],
+        [8.285, -8.361, 21.400],
+        [-1.208, 2.412, -36.530],
+    ]
+)
+IGPGTG_XYZ_FROM_LMS = np.linalg.inv(IGPGTG_XYZ_TO_LMS)
+IGPGTG_LMS_FROM_IGPGTG = np.linalg.inv(IGPGTG_LMS_TO_IGPGTG)
+_IGPGTG_EXP = 0.427
+
+
+def igpgtg_from_xyz(im_cl, xp=np):
+    lms = (im_cl * 100.0) @ xp.asarray(IGPGTG_XYZ_TO_LMS.T, dtype=im_cl.dtype)
+    lms_n = lms / xp.asarray(IGPGTG_LMS_NORM, dtype=im_cl.dtype)
+    lms_p = xp.sign(lms_n) * xp.abs(lms_n) ** _IGPGTG_EXP
+    return lms_p @ xp.asarray(IGPGTG_LMS_TO_IGPGTG.T, dtype=im_cl.dtype)
+
+
+def xyz_from_igpgtg(im_cl, xp=np):
+    lms_p = im_cl @ xp.asarray(IGPGTG_LMS_FROM_IGPGTG.T, dtype=im_cl.dtype)
+    lms_n = xp.sign(lms_p) * xp.abs(lms_p) ** (1.0 / _IGPGTG_EXP)
+    lms = lms_n * xp.asarray(IGPGTG_LMS_NORM, dtype=im_cl.dtype)
+    return (lms @ xp.asarray(IGPGTG_XYZ_FROM_LMS.T, dtype=im_cl.dtype)) / 100.0
+
+
+# ICaCb (Froehlich 2017, "Encoding high dynamic range and wide color
+# gamut imagery", ch. 7): XYZ -> LMS -> ST2084 (PQ) -> opponent. The
+# opponent rows sum to (1, 0, 0) at the achromatic axis.
+ICACB_XYZ_TO_LMS = np.array(
+    [
+        [0.37613, 0.70431, -0.05675],
+        [-0.21649, 1.14744, 0.05356],
+        [0.02567, 0.16713, 0.74235],
+    ]
+)
+ICACB_LMS_TO_ICACB = np.array(
+    [
+        [0.4949, 0.5037, 0.0015],
+        [4.2854, -4.5462, 0.2609],
+        [0.3605, 1.1499, -1.5105],
+    ]
+)
+ICACB_XYZ_FROM_LMS = np.linalg.inv(ICACB_XYZ_TO_LMS)
+ICACB_LMS_FROM_ICACB = np.linalg.inv(ICACB_LMS_TO_ICACB)
+
+
+def icacb_from_xyz(im_cl, xp=np):
+    lms = im_cl @ xp.asarray(ICACB_XYZ_TO_LMS.T, dtype=im_cl.dtype)
+    lms_p = _pq_fwd(lms, _PQ_P_ICTCP, xp)
+    return lms_p @ xp.asarray(ICACB_LMS_TO_ICACB.T, dtype=im_cl.dtype)
+
+
+def xyz_from_icacb(im_cl, xp=np):
+    lms_p = im_cl @ xp.asarray(ICACB_LMS_FROM_ICACB.T, dtype=im_cl.dtype)
+    lms = _pq_inv(lms_p, _PQ_P_ICTCP, xp)
+    return lms @ xp.asarray(ICACB_XYZ_FROM_LMS.T, dtype=im_cl.dtype)
+
+
+# IPT Ragoo (Ragoo & Farup 2021, hue-linearity-optimised IPT): the
+# XYZ->LMS stage is re-fit; the 0.43 exponent and LMS'->IPT matrix are
+# retained from Ebner & Fairchild's IPT.
+IPT_RAGOO_XYZ_TO_LMS = np.array(
+    [
+        [0.4321, 0.6906, -0.0930],
+        [-0.1793, 1.1458, 0.0226],
+        [0.0631, 0.1532, 0.7226],
+    ]
+)
+IPT_RAGOO_XYZ_FROM_LMS = np.linalg.inv(IPT_RAGOO_XYZ_TO_LMS)
+
+
+def ipt_ragoo_from_xyz(im_cl, xp=np):
+    lms = im_cl @ xp.asarray(IPT_RAGOO_XYZ_TO_LMS.T, dtype=im_cl.dtype)
+    lms_p = xp.sign(lms) * xp.abs(lms) ** IPT_EXP
+    return lms_p @ xp.asarray(LMS_TO_IPT.T, dtype=im_cl.dtype)
+
+
+def xyz_from_ipt_ragoo(im_cl, xp=np):
+    lms_p = im_cl @ xp.asarray(LMS_FROM_IPT.T, dtype=im_cl.dtype)
+    lms = xp.sign(lms_p) * xp.abs(lms_p) ** (1.0 / IPT_EXP)
+    return lms @ xp.asarray(IPT_RAGOO_XYZ_FROM_LMS.T, dtype=im_cl.dtype)
+
+
+# YCoCg (Malvar & Sullivan 2003, lifting form used by H.264 FRext):
+# exact rational matrix, trivially invertible.
+RGB_TO_YCOCG = np.array(
+    [[0.25, 0.5, 0.25], [0.5, 0.0, -0.5], [-0.25, 0.5, -0.25]]
+)
+YCOCG_TO_RGB = np.linalg.inv(RGB_TO_YCOCG)
+
+
+# CAM02-UCS (Luo, Cui & Li 2006) over CIECAM02 (CIE 159:2004). Same
+# viewing conditions as the CAM16 block above; the pipeline differs
+# only in the sharpened CAT02 adaptation space plus the Hunt-Pointer-
+# Estevez cone space for the response compression.
+M_CAT02 = np.array(
+    [
+        [0.7328, 0.4296, -0.1624],
+        [-0.7036, 1.6975, 0.0061],
+        [0.0030, 0.0136, 0.9834],
+    ]
+)
+M_HPE = np.array(
+    [
+        [0.38971, 0.68898, -0.07868],
+        [-0.22981, 1.18340, 0.04641],
+        [0.00000, 0.00000, 1.00000],
+    ]
+)
+M_CAT02_INV = np.linalg.inv(M_CAT02)
+M_HPE_FROM_CAT02 = M_HPE @ M_CAT02_INV
+M_CAT02_FROM_HPE = np.linalg.inv(M_HPE_FROM_CAT02)
+
+_cam02_rgb_w = M_CAT02 @ _CAM16_XYZ_W
+_CAM02_D_RGB = (
+    _CAM16_D * _CAM16_XYZ_W[1] / _cam02_rgb_w + 1.0 - _CAM16_D
+)
+_cam02_rgb_wc = _CAM02_D_RGB * _cam02_rgb_w
+_cam02_rgb_wp = M_HPE_FROM_CAT02 @ _cam02_rgb_wc
+_cam02_t_w = (_CAM16_FL * _cam02_rgb_wp / 100.0) ** 0.42
+_cam02_rgb_aw = 400.0 * _cam02_t_w / (_cam02_t_w + 27.13) + 0.1
+_CAM02_AW = (
+    2.0 * _cam02_rgb_aw[0] + _cam02_rgb_aw[1] + _cam02_rgb_aw[2] / 20.0
+    - 0.305
+) * _CAM16_NBB
+
+
+def cam02ucs_from_xyz(im_cl, xp=np, variant="ucs"):
+    rgb = (im_cl * 100.0) @ xp.asarray(M_CAT02.T, dtype=im_cl.dtype)
+    rgb_c = rgb * xp.asarray(_CAM02_D_RGB, dtype=im_cl.dtype)
+    rgb_p = rgb_c @ xp.asarray(M_HPE_FROM_CAT02.T, dtype=im_cl.dtype)
+    ra = _cam16_adapt(rgb_p, xp)
+    R, G, B = ra[..., 0], ra[..., 1], ra[..., 2]
+    a = R - 12.0 * G / 11.0 + B / 11.0
+    b = (R + G - 2.0 * B) / 9.0
+    h = xp.arctan2(b, a)
+    et = (xp.cos(h + 2.0) + 3.8) / 4.0
+    A = (2.0 * R + G + B / 20.0 - 0.305) * _CAM16_NBB
+    J = 100.0 * xp.abs(A / _CAM02_AW) ** (_CAM16_C * _CAM16_Z)
+    denom = R + G + 21.0 * B / 20.0 + 0.305
+    t = (
+        (50000.0 / 13.0) * _CAM16_NC * _CAM16_NCB * et
+        * xp.sqrt(a * a + b * b) / denom
+    )
+    C = (
+        xp.abs(t) ** 0.9 * xp.sqrt(J / 100.0)
+        * (1.64 - 0.29**_CAM16_N) ** 0.73
+    )
+    M = C * _CAM16_FL**0.25
+    KL, c1, c2 = _LUO2006[variant]
+    Jp = (1.0 + 100.0 * c1) * J / (1.0 + c1 * J) / KL
+    Mp = xp.log1p(c2 * M) / c2
+    return xp.stack([Jp, Mp * xp.cos(h), Mp * xp.sin(h)], axis=-1)
+
+
+def xyz_from_cam02ucs(im_cl, xp=np, variant="ucs"):
+    Jp, ap, bp = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    KL, c1, c2 = _LUO2006[variant]
+    Jk = Jp * KL
+    J = Jk / (1.0 + 100.0 * c1 - c1 * Jk)
+    Mp = xp.sqrt(ap * ap + bp * bp)
+    M = (xp.exp(c2 * Mp) - 1.0) / c2
+    h = xp.arctan2(bp, ap)
+    C = M / _CAM16_FL**0.25
+    Jsafe = xp.maximum(J, 1e-10)
+    t = (
+        C / (xp.sqrt(Jsafe / 100.0) * (1.64 - 0.29**_CAM16_N) ** 0.73)
+    ) ** (1.0 / 0.9)
+    et = (xp.cos(h + 2.0) + 3.8) / 4.0
+    A = _CAM02_AW * (Jsafe / 100.0) ** (1.0 / (_CAM16_C * _CAM16_Z))
+    # same closed-form (t, h, A) -> (a, b) as the CAM16 inverse above:
+    # the opponent system is identical in CIECAM02
+    p1t = (50000.0 / 13.0) * _CAM16_NC * _CAM16_NCB * et
+    p2 = A / _CAM16_NBB + 0.305
+    beta, gamma = -11.0 / 23.0, -108.0 / 23.0
+    sh, ch = xp.sin(h), xp.cos(h)
+    den = p1t - t * (beta * ch + gamma * sh)
+    s_rad = t * (p2 + 0.305) / xp.where(xp.abs(den) < 1e-12, 1e-12, den)
+    a = s_rad * ch
+    b = s_rad * sh
+    Ra = (460.0 * p2 + 451.0 * a + 288.0 * b) / 1403.0
+    Ga = (460.0 * p2 - 891.0 * a - 261.0 * b) / 1403.0
+    Ba = (460.0 * p2 - 220.0 * a - 6300.0 * b) / 1403.0
+    ra = xp.stack([Ra, Ga, Ba], axis=-1)
+    rgb_p = _cam16_adapt_inv(ra, xp)
+    rgb_c = rgb_p @ xp.asarray(M_CAT02_FROM_HPE.T, dtype=im_cl.dtype)
+    rgb = rgb_c / xp.asarray(_CAM02_D_RGB, dtype=im_cl.dtype)
+    return (rgb @ xp.asarray(M_CAT02_INV.T, dtype=im_cl.dtype)) / 100.0
+
+
+# hdr-CIELAB / hdr-IPT (Fairchild & Chen 2011, "Brightness, lightness,
+# and specifying color in high-dynamic-range scenes and images"):
+# Michaelis-Menten lightness L = Vmax * Y^e / (Y^e + 2^e) + 0.02 with
+# Vmax 247 (hdr-CIELAB) / 246 (hdr-IPT); exponent from the default
+# viewing conditions Y_s = 0.2, Y_abs = 100 cd/m2.
+_HDR_LF = np.log(318.0) / np.log(100.0)  # Y_abs = 100
+_HDR_SF = 1.25 - 0.25 * (0.2 / 0.184)  # Y_s = 0.2
+_HDR_EPS_LAB = 0.58 / (_HDR_SF * _HDR_LF)
+_HDR_EPS_IPT = 0.59 / (_HDR_SF * _HDR_LF)
+
+
+def _mm_lightness(y, eps, vmax, xp):
+    ye = xp.abs(y) ** eps
+    return xp.sign(y) * (vmax * ye / (ye + 2.0**eps)) + 0.02
+
+
+def _mm_lightness_inv(L, eps, vmax, xp):
+    v = L - 0.02
+    av = xp.clip(xp.abs(v), 0.0, vmax - 1e-9)
+    ye = 2.0**eps * av / (vmax - av)
+    return xp.sign(v) * ye ** (1.0 / eps)
+
+
+def hdr_cielab_from_xyz(im_cl, xp=np):
+    fx = _mm_lightness(im_cl[..., 0] / D65_WHITE[0], _HDR_EPS_LAB, 247.0, xp)
+    fy = _mm_lightness(im_cl[..., 1] / D65_WHITE[1], _HDR_EPS_LAB, 247.0, xp)
+    fz = _mm_lightness(im_cl[..., 2] / D65_WHITE[2], _HDR_EPS_LAB, 247.0, xp)
+    return xp.stack([fy, 5.0 * (fx - fy), 2.0 * (fy - fz)], axis=-1)
+
+
+def xyz_from_hdr_cielab(im_cl, xp=np):
+    L, a, b = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    fx = a / 5.0 + L
+    fz = L - b / 2.0
+    X = _mm_lightness_inv(fx, _HDR_EPS_LAB, 247.0, xp) * D65_WHITE[0]
+    Y = _mm_lightness_inv(L, _HDR_EPS_LAB, 247.0, xp) * D65_WHITE[1]
+    Z = _mm_lightness_inv(fz, _HDR_EPS_LAB, 247.0, xp) * D65_WHITE[2]
+    return xp.stack([X, Y, Z], axis=-1)
+
+
+def hdr_ipt_from_xyz(im_cl, xp=np):
+    lms = im_cl @ xp.asarray(XYZ_TO_LMS_IPT.T, dtype=im_cl.dtype)
+    lms_p = _mm_lightness(lms, _HDR_EPS_IPT, 246.0, xp)
+    return lms_p @ xp.asarray(LMS_TO_IPT.T, dtype=im_cl.dtype)
+
+
+def xyz_from_hdr_ipt(im_cl, xp=np):
+    lms_p = im_cl @ xp.asarray(LMS_FROM_IPT.T, dtype=im_cl.dtype)
+    lms = _mm_lightness_inv(lms_p, _HDR_EPS_IPT, 246.0, xp)
+    return lms @ xp.asarray(XYZ_FROM_LMS_IPT.T, dtype=im_cl.dtype)
+
+
+# OSA UCS (MacAdam 1974, the OSA committee formulas; coordinates
+# (L, j, g)). The inverse has no closed form; it follows Kobayasi &
+# Yosiki 2002: a scalar Newton solve for Y0 from L, then the two linear
+# chromatic equations parametrized by cbrt(B) with a 1-D root find on
+# the Y0 consistency constraint. Fixed iteration counts keep the
+# inverse jittable.
+OSA_XYZ_TO_RGB = np.array(
+    [
+        [0.7990, 0.4194, -0.1648],
+        [-0.4493, 1.3265, 0.0927],
+        [-0.1149, 0.3394, 0.7170],
+    ]
+)
+OSA_RGB_TO_XYZ = np.linalg.inv(OSA_XYZ_TO_RGB)
+_OSA_SQ2 = float(np.sqrt(2.0))
+
+
+def _osa_y0(X, Y, Z, xp):
+    s = X + Y + Z
+    safe = xp.where(s == 0, 1.0, s)
+    x = xp.where(s == 0, _D65_XY[0], X / safe)
+    y = xp.where(s == 0, _D65_XY[1], Y / safe)
+    return Y * (
+        4.4934 * x * x + 4.3034 * y * y - 4.276 * x * y
+        - 1.3744 * x - 2.5643 * y + 1.8103
+    )
+
+
+def _osa_lambda(Y0, xp):
+    """5.9 (Y0^(1/3) - 2/3 + 0.042 cbrt(Y0 - 30)) — monotone in Y0."""
+    return 5.9 * (
+        xp.cbrt(xp.maximum(Y0, 0.0)) - 2.0 / 3.0
+        + 0.042 * xp.sign(Y0 - 30.0) * xp.abs(Y0 - 30.0) ** (1.0 / 3.0)
+    )
+
+
+def osa_ucs_from_xyz(im_cl, xp=np):
+    X = im_cl[..., 0] * 100.0
+    Y = im_cl[..., 1] * 100.0
+    Z = im_cl[..., 2] * 100.0
+    Y0 = _osa_y0(X, Y, Z, xp)
+    lam = _osa_lambda(Y0, xp)
+    L = (lam - 14.4) / _OSA_SQ2
+    denom = 5.9 * (xp.cbrt(xp.maximum(Y0, 0.0)) - 2.0 / 3.0)
+    C = lam / xp.where(xp.abs(denom) < 1e-9, 1e-9, denom)
+    rgb = xp.stack([X, Y, Z], axis=-1) @ xp.asarray(
+        OSA_XYZ_TO_RGB.T, dtype=im_cl.dtype
+    )
+    cb = xp.sign(rgb) * xp.abs(rgb) ** (1.0 / 3.0)
+    u, v, w = cb[..., 0], cb[..., 1], cb[..., 2]
+    a = -13.7 * u + 17.7 * v - 4.0 * w
+    b = 1.7 * u + 8.0 * v - 9.7 * w
+    return xp.stack([L, C * b, C * a], axis=-1)  # (L, j, g)
+
+
+def xyz_from_osa_ucs(im_cl, xp=np):
+    L, j, g = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
+    lam = L * _OSA_SQ2 + 14.4
+    # Newton for Y0 (monotone; ~quadratic from a cube-law init)
+    Y0 = xp.maximum((lam / 5.9 + 2.0 / 3.0) ** 3, 1e-6)
+    for _ in range(40):
+        f = _osa_lambda(Y0, xp) - lam
+        t = xp.cbrt(xp.maximum(Y0, 1e-12))
+        df = 5.9 * (
+            1.0 / (3.0 * t * t)
+            + 0.042 / (3.0 * xp.maximum(xp.abs(Y0 - 30.0), 1e-6) ** (2.0 / 3.0))
+        )
+        Y0 = xp.maximum(Y0 - f / df, 1e-9)
+    denom = 5.9 * (xp.cbrt(Y0) - 2.0 / 3.0)
+    C = lam / xp.where(xp.abs(denom) < 1e-9, 1e-9, denom)
+    Csafe = xp.where(xp.abs(C) < 1e-9, 1e-9, C)
+    a = g / Csafe
+    b = j / Csafe
+    # chromatic system: -13.7 u + 17.7 v = a + 4 w ; 1.7 u + 8 v = b + 9.7 w
+    det = -13.7 * 8.0 - 17.7 * 1.7  # -139.69
+    u0 = (8.0 * a - 17.7 * b) / det
+    uw = (8.0 * 4.0 - 17.7 * 9.7) / det
+    v0 = (-13.7 * b - 1.7 * a) / det
+    vw = (-13.7 * 9.7 - 1.7 * 4.0) / det
+
+    def xyz_of(wc):
+        u = u0 + uw * wc
+        v = v0 + vw * wc
+        rgb = xp.stack([u**3, v**3, wc**3], axis=-1)
+        return rgb @ xp.asarray(OSA_RGB_TO_XYZ.T, dtype=im_cl.dtype)
+
+    def resid(wc):
+        xyz = xyz_of(wc)
+        return _osa_y0(xyz[..., 0], xyz[..., 1], xyz[..., 2], xp) - Y0
+
+    wc = xp.cbrt(xp.maximum(Y0, 1e-6))  # neutral-axis init
+    eps = 1e-5
+    for _ in range(60):
+        f = resid(wc)
+        df = (resid(wc + eps) - f) / eps
+        step = f / xp.where(xp.abs(df) < 1e-12, 1e-12, df)
+        step = xp.clip(step, -1.0, 1.0)  # damped: cube-law far field
+        wc = wc - step
+    return xyz_of(wc) / 100.0
+
+
 _FORWARD = {
     "ipt": ipt_from_rgb,
     "cie xyz": xyz_from_rgb,
@@ -621,6 +1083,19 @@ _FORWARD = {
     "cam16scd": lambda x: cam16ucs_from_xyz(xyz_from_rgb(x), variant="scd"),
     "cie ucs": lambda x: ucs_from_xyz(xyz_from_rgb(x)),
     "cie uvw": lambda x: uvw_from_xyz(xyz_from_rgb(x)),
+    "hunter rdab": lambda x: hunter_rdab_from_xyz(xyz_from_rgb(x)),
+    "prolab": lambda x: prolab_from_xyz(xyz_from_rgb(x)),
+    "yrg": lambda x: yrg_from_xyz(xyz_from_rgb(x)),
+    "igpgtg": lambda x: igpgtg_from_xyz(xyz_from_rgb(x)),
+    "icacb": lambda x: icacb_from_xyz(xyz_from_rgb(x)),
+    "ipt ragoo": lambda x: ipt_ragoo_from_xyz(xyz_from_rgb(x)),
+    "ycocg": lambda x: _apply_mat(x, RGB_TO_YCOCG),
+    "cam02ucs": lambda x: cam02ucs_from_xyz(xyz_from_rgb(x)),
+    "cam02lcd": lambda x: cam02ucs_from_xyz(xyz_from_rgb(x), variant="lcd"),
+    "cam02scd": lambda x: cam02ucs_from_xyz(xyz_from_rgb(x), variant="scd"),
+    "hdr-cielab": lambda x: hdr_cielab_from_xyz(xyz_from_rgb(x)),
+    "hdr-ipt": lambda x: hdr_ipt_from_xyz(xyz_from_rgb(x)),
+    "osa ucs": lambda x: osa_ucs_from_xyz(xyz_from_rgb(x)),
 }
 _INVERSE = {
     "ipt": rgb_from_ipt,
@@ -642,6 +1117,19 @@ _INVERSE = {
     "cam16scd": lambda x: rgb_from_xyz(xyz_from_cam16ucs(x, variant="scd")),
     "cie ucs": lambda x: rgb_from_xyz(xyz_from_ucs(x)),
     "cie uvw": lambda x: rgb_from_xyz(xyz_from_uvw(x)),
+    "hunter rdab": lambda x: rgb_from_xyz(xyz_from_hunter_rdab(x)),
+    "prolab": lambda x: rgb_from_xyz(xyz_from_prolab(x)),
+    "yrg": lambda x: rgb_from_xyz(xyz_from_yrg(x)),
+    "igpgtg": lambda x: rgb_from_xyz(xyz_from_igpgtg(x)),
+    "icacb": lambda x: rgb_from_xyz(xyz_from_icacb(x)),
+    "ipt ragoo": lambda x: rgb_from_xyz(xyz_from_ipt_ragoo(x)),
+    "ycocg": lambda x: _apply_mat(x, YCOCG_TO_RGB),
+    "cam02ucs": lambda x: rgb_from_xyz(xyz_from_cam02ucs(x)),
+    "cam02lcd": lambda x: rgb_from_xyz(xyz_from_cam02ucs(x, variant="lcd")),
+    "cam02scd": lambda x: rgb_from_xyz(xyz_from_cam02ucs(x, variant="scd")),
+    "hdr-cielab": lambda x: rgb_from_xyz(xyz_from_hdr_cielab(x)),
+    "hdr-ipt": lambda x: rgb_from_xyz(xyz_from_hdr_ipt(x)),
+    "osa ucs": lambda x: rgb_from_xyz(xyz_from_osa_ucs(x)),
 }
 
 SUPPORTED_MODELS = set(_FORWARD)

@@ -103,6 +103,102 @@ def test_codec_roundtrip_new_color_model(rng):
     assert np.quantile(np.abs(rec - im), 0.99) < 0.1
 
 
+# ---------------------------------------------------------------------------
+# round 3: full colour.COLOURSPACE_MODELS coverage (verdict item 6)
+# ---------------------------------------------------------------------------
+
+R3_MODELS = ["hunter rdab", "prolab", "yrg", "igpgtg", "icacb",
+             "ipt ragoo", "ycocg", "cam02ucs", "cam02lcd", "cam02scd",
+             "hdr-cielab", "hdr-ipt", "osa ucs"]
+
+
+@pytest.mark.parametrize("model", R3_MODELS)
+def test_roundtrip_r3_models(rng, model):
+    im = rng.uniform(0.01, 1.0, size=(3, 16, 24))
+    out = cm.convert(im, "RGB", model)
+    back = cm.convert(out, model, "RGB")
+    assert np.allclose(back, im, atol=1e-6), model
+
+
+@pytest.mark.parametrize("model", R3_MODELS)
+def test_jax_matches_numpy_r3_models(rng, model):
+    from spiht_tpu.color import jax_models as jm
+    import jax.numpy as jnp
+
+    im = rng.uniform(0.01, 1.0, size=(3, 12, 20))
+    want = cm.convert(im, "RGB", model)
+    got = np.asarray(jm.convert(jnp.asarray(im), "RGB", model))
+    np.testing.assert_allclose(got, want, atol=1e-9, err_msg=model)
+    back = np.asarray(jm.convert(jnp.asarray(want), model, "RGB"))
+    np.testing.assert_allclose(back, im, atol=1e-6, err_msg=model)
+
+
+def test_reference_model_names_accepted():
+    """The exact colour.COLOURSPACE_MODELS names (colour-science 0.4.4,
+    the pinned reference dep) all convert: capability parity for a user
+    migrating with any reference-accepted color_model string."""
+    colourspace_models = [
+        "CAM02LCD", "CAM02SCD", "CAM02UCS", "CAM16LCD", "CAM16SCD",
+        "CAM16UCS", "CIE Lab", "CIE Luv", "CIE UCS", "CIE UVW",
+        "CIE XYZ", "CIE xyY", "DIN99", "Hunter Lab", "Hunter Rdab",
+        "ICaCb", "ICtCp", "IPT", "IPT Ragoo", "IgPgTg", "Jzazbz",
+        "OSA UCS", "Oklab", "ProLab", "Yrg", "hdr-CIELAB", "hdr-IPT",
+    ]
+    im = np.full((3, 2, 2), 0.5)
+    for name in colourspace_models:
+        out = cm.convert(im, "RGB", name)
+        back = cm.convert(out, name, "RGB")
+        assert np.allclose(back, im, atol=1e-6), name
+
+
+def test_prolab_white_point():
+    """ProLab's projective matrix maps the white point to exactly
+    (100, 0, 0) — a built-in consistency check on the published
+    coefficients (Konovalenko et al. 2021)."""
+    white = np.ones((3, 1, 1))
+    pl = cm.convert(white, "RGB", "prolab")
+    np.testing.assert_allclose(pl[:, 0, 0], [100.0, 0.0, 0.0], atol=1e-10)
+
+
+def test_hunter_rdab_relates_to_hunter_lab():
+    """Rd = (L_hunter/100)^2 * 100 and the chroma terms differ by the
+    extra sqrt(Y/Yn) normalization."""
+    rng = np.random.default_rng(5)
+    im = rng.uniform(0.05, 1.0, size=(3, 4, 6))
+    lab = cm.convert(im, "RGB", "hunter lab")
+    rdab = cm.convert(im, "RGB", "hunter rdab")
+    np.testing.assert_allclose(rdab[0], lab[0] ** 2 / 100.0, atol=1e-9)
+    sq = lab[0] / 100.0
+    np.testing.assert_allclose(rdab[1], lab[1] / sq, atol=1e-9)
+    np.testing.assert_allclose(rdab[2], lab[2] / sq, atol=1e-9)
+
+
+def test_hdr_models_achromatic_and_monotone():
+    grays = np.linspace(0.05, 1.0, 8)
+    im = np.ones((3, 1, 8)) * grays[None, None, :]
+    for model in ("hdr-cielab", "hdr-ipt"):
+        out = cm.convert(im, "RGB", model)
+        # hdr-IPT leaves ~8e-3 residual chroma on the D65 gray axis (the
+        # IPT LMS of D65 white is not exactly (1,1,1)); the lightness
+        # scale is ~0-250 so this is <1e-4 relative
+        assert np.all(np.abs(out[1]) < 2e-2), model
+        assert np.all(np.abs(out[2]) < 2e-2), model
+        assert np.all(np.diff(out[0, 0]) > 0), model
+
+
+def test_osa_ucs_neutral_and_lightness_sign():
+    """OSA UCS: mid gray sits near j=g=0; L increases with luminance
+    and is negative for dark grays (the scale is centered near Y0=30)."""
+    g = np.ones((3, 1, 1)) * 0.3
+    out = cm.convert(g, "RGB", "osa ucs")
+    assert abs(out[1, 0, 0]) < 0.5 and abs(out[2, 0, 0]) < 0.5
+    grays = np.linspace(0.05, 1.0, 8)
+    im = np.ones((3, 1, 8)) * grays[None, None, :]
+    L = cm.convert(im, "RGB", "osa ucs")[0, 0]
+    assert np.all(np.diff(L) > 0)
+    assert L[0] < 0
+
+
 def test_cam16_variants_differ_only_in_luo_coefficients(rng):
     """LCD/SCD share CAM16 appearance correlates with UCS; the a'b'
     plane rescales by the c2 compression and J' by 1/KL."""
