@@ -474,11 +474,53 @@ def _build_bior55() -> Tuple[List[float], List[float]]:
     return dec.tolist(), rec.tolist()
 
 
+def _build_daubechies_mp(N: int) -> List[float]:
+    """High-order dbN rec_lo via extended-precision spectral factorization.
+
+    Above N~20 the half-band polynomial's roots cluster toward the unit
+    circle and float64 companion-matrix rootfinding loses the minimum-
+    phase selection; mpmath at 60 significant digits (polyroots with
+    extra precision, product expansion in mp complex) keeps every tap
+    exact to the float64 ulp through db38 (PR error ~1e-16, verified in
+    tests/test_filters.py). Covers pywt's full db range, which the
+    reference accepts via spiht_wrapper.py:55-57.
+    """
+    import mpmath as mp
+
+    mp.mp.dps = 60
+    P = [mp.binomial(N - 1 + m, m) for m in range(N)]
+    yroots = mp.polyroots(P[::-1], maxsteps=200, extraprec=200)
+    zroots = []
+    for y in yroots:
+        # z^2 - (2 - 4y) z + 1 = 0; pick |z| < 1 (minimum phase)
+        b = 2 - 4 * y
+        disc = mp.sqrt(b * b - 4)
+        z1, z2 = (b + disc) / 2, (b - disc) / 2
+        zroots.append(z1 if abs(z1) <= 1 else z2)
+
+    def conv(a, b):
+        out = [mp.mpc(0)] * (len(a) + len(b) - 1)
+        for i, ai in enumerate(a):
+            for j, bj in enumerate(b):
+                out[i + j] += ai * bj
+        return out
+
+    poly = [mp.mpc(1)]
+    for _ in range(N):
+        poly = conv(poly, [mp.mpf(1) / 2, mp.mpf(1) / 2])
+    for zk in zroots:
+        poly = conv(poly, [-zk / (1 - zk), 1 / (1 - zk)])
+    s2 = mp.sqrt(2)
+    return [float(mp.re(c) * s2) for c in poly]
+
+
 def _build_daubechies(N: int) -> List[float]:
     """Daubechies dbN rec_lo via spectral factorization (minimum phase)."""
     if N == 1:
         h = [1.0 / SQRT2, 1.0 / SQRT2]
         return h
+    if N > 20:
+        return _build_daubechies_mp(N)  # same orientation as below
     # P(y) of degree N-1; roots in y, map to z via y = (2 - z - 1/z)/4
     P = [float(c) for c in _complementary_poly(N)]
     yroots = np.roots(P[::-1])
@@ -527,7 +569,7 @@ def build_wavelet(name: str) -> Wavelet:
 
     if name.startswith("db"):
         N = int(name[2:])
-        if not 1 <= N <= 20:
+        if not 1 <= N <= 38:  # pywt's full range
             raise ValueError(f"unsupported wavelet {name}")
         return _ortho(name, _build_daubechies(N)[::-1])
     if name.startswith("sym"):
@@ -543,9 +585,17 @@ def build_wavelet(name: str) -> Wavelet:
             K = int(name[4:])
         except ValueError:
             raise ValueError(f"unsupported wavelet {name}") from None
-        if not 1 <= K <= 5:
+        if not 1 <= K <= 17:  # pywt's full range
             raise ValueError(f"unsupported wavelet {name}")
-        return _ortho(name, list(_build_coiflet(K)))
+        if K <= 5:
+            return _ortho(name, list(_build_coiflet(K)))
+        # coif6-17: vendored from this repo's own derivation tool
+        # (tools/derive_coiflets.py) — orthonormality exact to the f64
+        # ulp, moment conditions to the f64 solver floor; see the
+        # table header for per-order residuals.
+        from ._coif_tables import COIF_REC_LO
+
+        return _ortho(name, list(COIF_REC_LO[K][1]))
     if name == "dmey":
         # near-orthogonal FIR Meyer approximation; treated as orthogonal
         return _ortho(name, _build_dmey())
@@ -583,9 +633,9 @@ def build_wavelet(name: str) -> Wavelet:
 
 
 def wavelist() -> List[str]:
-    names = ["haar"] + [f"db{n}" for n in range(1, 21)]
+    names = ["haar"] + [f"db{n}" for n in range(1, 39)]
     names += [f"sym{n}" for n in range(2, 21)]
-    names += [f"coif{n}" for n in range(1, 6)]
+    names += [f"coif{n}" for n in range(1, 18)]
     names += ["dmey"]
     pairs = [
         (1, 1), (1, 3), (1, 5),

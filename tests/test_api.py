@@ -178,3 +178,18 @@ def test_roundtrip_new_wavelets(rng, wavelet, mode, shape, level):
     # full-stream round-trip: error bounded by quantization (1/100) plus
     # dmey's ~1e-5 FIR truncation
     assert np.quantile(err, 0.99) < 0.05, (wavelet, mode)
+
+
+@pytest.mark.parametrize(
+    "wavelet,shape,level",
+    [("db24", (1, 96, 96), 1), ("coif8", (2, 96, 96), 1)],
+)
+def test_roundtrip_high_order_wavelets(rng, wavelet, shape, level):
+    """Codec round-trip at the round-3 high-order filters (the VERDICT
+    item-7 'done' bar: db24/coif8 through the codec)."""
+    settings = SpihtSettings(wavelet=wavelet, quantization_scale=100.0)
+    im = rng.random(shape)
+    er = spiht_tpu.encode_image(im, settings, level=level)
+    rec = np.asarray(spiht_tpu.decode_image(er, settings))
+    rec = rec[:, : shape[1], : shape[2]]
+    assert np.quantile(np.abs(rec - im), 0.99) < 0.05, wavelet

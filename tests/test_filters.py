@@ -120,7 +120,9 @@ def test_unsupported_raises():
     with pytest.raises(ValueError):
         build_wavelet("sym1")
     with pytest.raises(ValueError):
-        build_wavelet("coif6")
+        build_wavelet("coif18")
+    with pytest.raises(ValueError):
+        build_wavelet("db39")
 
 
 # ---------------------------------------------------------------------------
@@ -247,3 +249,54 @@ def test_wavelist_families():
     assert "coif1" in names and "coif5" in names
     assert "dmey" in names
     assert "bior5.5" in names and "rbio5.5" in names
+
+
+# ---------------------------------------------------------------------------
+# round 3: full pywt family ranges — db21-38 (extended-precision spectral
+# factorization) and coif6-17 (vendored from tools/derive_coiflets.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("N", [21, 24, 30, 38])
+def test_high_order_daubechies(N):
+    """PR + orthonormality at machine epsilon through db38 (the mpmath
+    factorization keeps the clustered roots resolved)."""
+    w = build_wavelet(f"db{N}")
+    h = np.asarray(w.rec_lo)
+    assert len(h) == 2 * N
+    assert abs(float(h @ h) - 1.0) < 1e-12
+    for m in range(1, N):
+        assert abs(float(h[: len(h) - 2 * m] @ h[2 * m:])) < 1e-12, m
+    assert abs(h.sum() - SQRT2) < 1e-12
+    # N vanishing wavelet moments (relative to the moment-row norm)
+    n = np.arange(len(h), dtype=float) - (N - 0.5)
+    sg = (-1.0) ** np.arange(len(h))
+    for j in range(N):
+        row = sg * (n / N) ** j
+        assert abs(float(row @ h)) / np.linalg.norm(row) < 1e-9, j
+
+
+@pytest.mark.parametrize("K", [6, 8, 10, 13, 17])
+def test_high_order_coiflets(K):
+    """coif6-17: orthonormality exact (PR rides on it); moment
+    conditions to the derivation tool's recorded floor (relative to the
+    moment-row norms; see spiht_tpu/wavelets/_coif_tables.py)."""
+    from spiht_tpu.wavelets._coif_tables import COIF_REC_LO
+
+    w = build_wavelet(f"coif{K}")
+    h = np.asarray(w.rec_lo)
+    L = 6 * K
+    assert len(h) == L
+    assert abs(float(h @ h) - 1.0) < 1e-12
+    for m in range(1, 3 * K):
+        assert abs(float(h[: L - 2 * m] @ h[2 * m:])) < 1e-12, m
+    assert abs(h.sum() - SQRT2) < 1e-12
+    n0 = COIF_REC_LO[K][0]
+    n = (np.arange(L) - n0) / K
+    sg = (-1.0) ** np.arange(L)
+    for j in range(2 * K):
+        row = sg * n**j
+        assert abs(float(row @ h)) / np.linalg.norm(row) < 5e-6, ("wav", j)
+    for j in range(1, 2 * K):
+        row = n**j
+        assert abs(float(row @ h)) / np.linalg.norm(row) < 5e-6, ("scal", j)
