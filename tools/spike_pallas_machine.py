@@ -101,6 +101,9 @@ def build(rows_state, rows_words, interpret):
                 pltpu.VMEM((rows_state, LANES), jnp.int32)
                 for _ in range(4)
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
             interpret=interpret,
         )(words, niter)
     )
