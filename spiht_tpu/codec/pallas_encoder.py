@@ -34,6 +34,7 @@ from .maps import significance_maps
 __all__ = [
     "pallas_encode_fn", "pallas_encode", "EncCapacityOverflow",
     "MachineResourceLimit", "machine_vmem_bytes", "machine_fits",
+    "interleaved_vmem_bytes", "interleaved_fits", "pallas_encode_batch",
 ]
 
 LANES = 128
@@ -1040,6 +1041,723 @@ def _cap_words_for(c, h, w, max_bits) -> int:
     return max((cap_bits + 31) // 32, 1)
 
 
+def _narrowed_caps(g, cap_words: int):
+    """Budget-narrowed queue capacities — provably safe for any stream
+    of <= cap_words*32 bits, because every queue append is charged to
+    an emitted bit:
+
+      * LIP insert <-> one emitted child sig bit (``insig`` requires
+        ``okt``), so lip indices <= n_lip0 + bits.
+      * LSP commit <-> two emitted bits (sig + sign), so <= bits/2.
+      * LIS appends: an A-reappend needs hgf (=> hc) and its fire emits
+        >= 5 bits (D test + 4 child sig bits, all pre-deadline by
+        ``~dead_c``); every type-B entry comes from exactly one earlier
+        reappend and its fire (1 bit) appends 4 type-A children. Per
+        reappend: >= 5+1 bits against 1+4 appends => appends <= bits.
+
+    Writes past a budget cut never happen (every append mask requires
+    its bit to be inside max_bits), and a dead machine never reads its
+    queues, so narrowing preserves bit-exactness while shrinking the
+    dominant VMEM arrays by ~3x at 1 bpp budgets.
+    """
+    cap_bits = cap_words * 32
+    n_lip0 = max(int(g["lip_init"].size), 1)
+    n_lis0 = max(int(g["lis_init"].size), 1)
+    lip_cap = min(g["ent_bound"] + 1, n_lip0 + cap_bits + 2)
+    lsp_cap = min(g["ent_bound"] + 1, cap_bits // 2 + 2)
+    lis_cap = min(2 * g["lis_bound"] + 1, n_lis0 + cap_bits + 8)
+    return lip_cap, lis_cap, lsp_cap
+
+
+def interleaved_vmem_bytes(
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> int:
+    """Exact VMEM bytes the B-chain interleaved machine requests
+    (per-chain tables/queues with budget-narrowed caps; the child0
+    geometry table and LIS init entries are shared across chains)."""
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
+    li_rows = _rows(max(int(g["lip_init"].size), 1))
+    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    per_chain = (
+        2 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        + _rows(lsp_cap) + _rows(cap_words) + li_rows + ls_rows
+    )
+    shared = _rows(N) + ls_rows + 256
+    return 4 * LANES * (B * per_chain + shared)
+
+
+def interleaved_fits(
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> bool:
+    if c * h * w >= 1 << 24:
+        return False
+    return (
+        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
+@lru_cache(maxsize=None)
+def _interleaved_fn(
+    B: int,
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+):
+    """B-chain INTERLEAVED hybrid emission machine: ONE kernel steps B
+    independent machines per loop iteration (per-chain scalar carries +
+    per-chain state segments stacked on the sublane axis), so the B
+    dependent chains overlap on the core instead of serializing like
+    ``lax.map`` (tools/spike_pallas_ilp.py measured 1.41x/1.56x/1.71x
+    overlap at B=2/4/8 on v5e hardware).
+
+    fn(arrs(B,c,h,w) i32, max_ns(B,), max_bits(B,)) ->
+    (words u32[B,cap_words], totals i32[B], overflows bool[B]).
+
+    Semantics per chain are byte-identical to ``_hybrid_fn`` (and thus
+    /root/reference/src/encoder_decoder.rs:155-303): the lockstep phase
+    loops run until every chain has finished the phase, with finished
+    chains naturally inert (their lane masks are empty, so emissions OR
+    zeros and queue writes mask out). Queue capacities are
+    budget-narrowed (see ``_narrowed_caps``) so B=8 fits VMEM at the
+    512^2 headline geometry; the child0 table and initial LIS entries
+    are geometry-only and shared across chains.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    T_ROWS = _rows(N)
+    W_ROWS = _rows(cap_words)
+    cap_bits = cap_words * 32
+
+    hc_np = np.asarray(g["has_child"], bool)
+    hg_np = np.asarray(g["hg"], bool)
+    child0_np = np.asarray(g["child0"], np.int32)
+    geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
+    hc_flags = jnp.asarray(
+        (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
+    )
+
+    lip0_np = g["lip_init"].astype(np.int64)
+    lis_nodes_np = g["lis_init"].astype(np.int64)
+    lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
+    n_lip0 = int(lip0_np.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+    lip0_j = jnp.asarray(lip0_np.astype(np.int32))
+    lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
+
+    vmem_bytes = interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+
+    # per-chain carry layout (i32 scalars), as in _hybrid_fn:
+    # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
+    # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
+    def kernel(t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
+               sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+               lsp_ref):
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+        sq0 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        sq1 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+        eye = (sq0 == sq1).astype(jnp.float32)
+        tri = (sq0 < sq1).astype(jnp.float32)
+        colf = sq1.astype(jnp.float32)
+        onesrow = jnp.ones((1, LANES), jnp.float32)
+
+        words_ref[:] = jnp.zeros((B * W_ROWS, LANES), _I32)
+        for b in range(B):
+            lip_ref[pl.ds(b * LIP_ROWS, LI_ROWS), :] = (
+                lipi_ref[pl.ds(b * LI_ROWS, LI_ROWS), :]
+            )
+            lis_ref[pl.ds(b * LIS_ROWS, LS_ROWS), :] = lisi_ref[:]
+            lisv_ref[pl.ds(b * LIS_ROWS, LS_ROWS), :] = (
+                lisvi_ref[pl.ds(b * LS_ROWS, LS_ROWS), :]
+            )
+
+        def rd(ref, base, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(base + i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, base, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = base + i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def ext(row, lane_idx):
+            return jnp.sum(
+                jnp.where(lanes == lane_idx, row, 0), dtype=_I32
+            )
+
+        def appendk(targets, base_off, slots, cap, seg_rows):
+            """As _hybrid_fn.appendk, with a static per-chain segment
+            base on every target ref. base_off is the in-chain index."""
+            i0 = jnp.clip(base_off, 0, cap - 1)
+            r0 = i0 // LANES
+            accs = [
+                [jnp.zeros((1, LANES), _I32) for _ in targets]
+                for _ in range(2)
+            ]
+            mask = [jnp.zeros((1, LANES), jnp.bool_) for _ in range(2)]
+            for off, want, vi in slots:
+                lane0 = base_off + off - r0 * LANES
+                for r in range(2):
+                    m = (lanes == lane0 - r * LANES) & want
+                    mask[r] = mask[r] | m
+                    for t, (_ref, _b, vals) in enumerate(targets):
+                        accs[r][t] = accs[r][t] | jnp.where(
+                            m, vals[vi], 0
+                        )
+            nrows = (cap + LANES - 1) // LANES
+            for r in range(2):
+                ri = jnp.clip(r0 + r, 0, nrows - 1)
+                for t, (ref, seg_base, _vals) in enumerate(targets):
+                    old = ref[pl.ds(seg_base + ri, 1), :]
+                    ref[pl.ds(seg_base + ri, 1), :] = jnp.where(
+                        mask[r], accs[r][t], old
+                    )
+            del seg_rows
+
+        def prefix(v_i32):
+            return jnp.dot(
+                v_i32.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(_I32)
+
+        def isum(v):
+            return jnp.sum(v.astype(_I32), dtype=_I32)
+
+        def scatter_rows(w_off, vals_list, keep):
+            """Order-preserving append of kept lanes; each target is
+            (ref, seg_base_row, rows_cap, vals)."""
+            dest = (w_off % LANES) + prefix(keep.astype(_I32))
+            dm = jnp.where(keep, dest, -1).astype(jnp.float32)
+            d_t = jax.lax.dot_general(
+                jnp.broadcast_to(dm, (LANES, LANES)), eye,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            r0 = w_off // LANES
+            for r in range(2):
+                p = (d_t - (r * LANES) == colf).astype(jnp.float32)
+                msk = jnp.dot(
+                    onesrow, p, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(_I32)
+                for ref, seg_base, rows_cap, vals in vals_list:
+                    lo = (vals & 0xFFFF).astype(jnp.float32)
+                    hi = jax.lax.shift_right_logical(
+                        vals, _C16
+                    ).astype(jnp.float32)
+                    plo = jnp.dot(
+                        lo, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    phi = jnp.dot(
+                        hi, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    neww = plo.astype(_I32) | (phi.astype(_I32) << 16)
+                    ri = seg_base + jnp.clip(r0 + r, 0, rows_cap - 1)
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        msk != 0, neww, old
+                    )
+
+        def emit_window(wbase, pos, grp, off, wwin):
+            base = pos >> 5
+            sub = off & 31
+            rel = (off >> 5) - base
+            lo = grp << sub
+            spill = jnp.where(
+                sub == 0,
+                0,
+                jax.lax.shift_right_logical(
+                    grp, jnp.clip(32 - sub, 0, 31)
+                ),
+            )
+            wv = []
+            for j in range(wwin):
+                wj = jnp.sum(jnp.where(rel == j, lo, 0), dtype=_I32)
+                if j > 0:
+                    wj = wj + jnp.sum(
+                        jnp.where(rel == (j - 1), spill, 0), dtype=_I32
+                    )
+                wv.append(wj)
+            c0 = base % LANES
+            r0 = base // LANES
+            m0 = jnp.zeros((1, LANES), _I32)
+            m1 = jnp.zeros((1, LANES), _I32)
+            for j in range(wwin):
+                m0 = m0 | jnp.where(lanes == c0 + j, wv[j], 0)
+                m1 = m1 | jnp.where(lanes == c0 + j - LANES, wv[j], 0)
+            ra = wbase + jnp.clip(r0, 0, W_ROWS - 1)
+            row = words_ref[pl.ds(ra, 1), :]
+            words_ref[pl.ds(ra, 1), :] = row | m0
+            rb = wbase + jnp.clip(r0 + 1, 0, W_ROWS - 1)
+            row1 = words_ref[pl.ds(rb, 1), :]
+            words_ref[pl.ds(rb, 1), :] = row1 | m1
+
+        def seq_emit(wbase, pos, grp, kk):
+            w0 = pos >> 5
+            sub = pos & 31
+            cur = rd(words_ref, wbase, w0, cap_words)
+            rmw(words_ref, wbase, w0, cur | (grp << sub), kk > 0,
+                cap_words)
+            spill = jnp.where(
+                sub == 0,
+                0,
+                jax.lax.shift_right_logical(
+                    grp, jnp.clip(32 - sub, 0, 31)
+                ),
+            )
+            rmw(words_ref, wbase, w0 + 1, spill, (sub + kk) > 32,
+                cap_words)
+            return pos + kk
+
+        def lip_body_chain(b, s):
+            (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            act = (r * LANES < lip_cnt) & (dead == 0) & (done == 0)
+            max_bits = sc_ref[2 * b]
+            lbase = b * LIP_ROWS
+            rr = jnp.clip(r, 0, LIP_ROWS - 1)
+            row = lip_ref[pl.ds(lbase + rr, 1), :]
+            valid = act & (lanes < (lip_cnt - r * LANES))
+            mag = row & 0x7FFFFFFF
+            nneg = jax.lax.shift_right_logical(row, _C31)
+            nsh = jnp.clip(n, 0, 31)
+            sig = valid & (
+                jax.lax.shift_right_logical(mag, nsh) != 0
+            )
+            kk_nom = valid.astype(_I32) + sig.astype(_I32)
+            off = pos + prefix(kk_nom)
+            ok0 = valid & (off < max_bits)
+            b0 = sig & ok0
+            ok1 = b0 & ((off + 1) < max_bits)
+            grp = b0.astype(_I32) | (jnp.where(ok1, nneg, 0) << 1)
+            emit_window(b * W_ROWS, pos, grp, off, 10)
+            commit = b0 & ok1
+            scatter_rows(
+                lsp_cnt,
+                [(lsp_ref, b * LSP_ROWS, LSP_ROWS, row)], commit,
+            )
+            retain = ok0 & ~sig
+            scatter_rows(
+                lip_w,
+                [(lip_ref, lbase, LIP_ROWS, row)], retain,
+            )
+            dead = dead | (
+                isum(valid & ~ok0) + isum(b0 & ~ok1) > 0
+            ).astype(_I32)
+            pos = pos + isum(ok0) + isum(ok1)
+            r = jnp.where(act, r + 1, r)
+            return (pos, n, lip_cnt, lip_w + isum(retain),
+                    lip_add, lis_w, lis_t, lsp_cnt + isum(commit),
+                    lsp_snap, r, dead, done)
+
+        def ref_body_chain(b, s):
+            (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            act = (r * LANES < lsp_snap) & (dead == 0) & (done == 0)
+            max_bits = sc_ref[2 * b]
+            rr = jnp.clip(r, 0, LSP_ROWS - 1)
+            row = lsp_ref[pl.ds(b * LSP_ROWS + rr, 1), :]
+            valid = act & (lanes < (lsp_snap - r * LANES))
+            mag = row & 0x7FFFFFFF
+            nsh = jnp.clip(n, 0, 31)
+            bit = jax.lax.shift_right_logical(mag, nsh) & 1
+            off = pos + prefix(valid.astype(_I32))
+            ok0 = valid & (off < max_bits)
+            grp = jnp.where(ok0, bit, 0)
+            emit_window(b * W_ROWS, pos, grp, off, 6)
+            dead = dead | (isum(valid & ~ok0) > 0).astype(_I32)
+            pos = pos + isum(ok0)
+            r = jnp.where(act, r + 1, r)
+            return (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                    lsp_cnt, lsp_snap, r, dead, done)
+
+        child_off = (0, 1, w, w + 1)
+
+        def lis_row_chain(b, s):
+            """One LIS row for chain b: classify, bulk-retain, then the
+            per-fire scalar loop runs inside the shared inner lockstep
+            loop (built by the caller); this returns the row context."""
+            (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, lis_i, dead, done) = s
+            act = (lis_i < lis_t) & (dead == 0) & (done == 0)
+            lbase = b * LIS_ROWS
+            r = jnp.clip(lis_i // LANES, 0, LIS_ROWS - 1)
+            erow = lis_ref[pl.ds(lbase + r, 1), :]
+            vrow = lisv_ref[pl.ds(lbase + r, 1), :]
+            start = lis_i % LANES
+            vend = jnp.where(
+                act, jnp.minimum(lis_t - r * LANES, LANES), start
+            )
+            valid = (lanes >= start) & (lanes < vend)
+            is_a = (erow & 1) == 1
+            df = ((vrow >> 5) & 31) - 1
+            gf = ((vrow >> 10) & 31) - 1
+            sig0 = jnp.where(is_a, df, gf) >= n
+            fired = valid & sig0
+            retain = valid & ~sig0
+            scatter_rows(
+                lis_w,
+                [(lis_ref, lbase, LIS_ROWS, erow),
+                 (lisv_ref, lbase, LIS_ROWS, vrow)],
+                retain,
+            )
+            lis_w = lis_w + isum(retain)
+            s = (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, lis_i, dead, done)
+            return s, (erow, vrow, fired, vend, r)
+
+        def lis_fire_chain(b, s, ctx, cur):
+            """One fired-entry step for chain b (the _hybrid_fn ibody),
+            returns updated (s, cur)."""
+            (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, lis_i, dead, done) = s
+            erow, vrow, fired, vend, _r = ctx
+            max_bits = sc_ref[2 * b]
+            inner_act = (cur < vend) & (dead == 0) & (done == 0)
+            cand = jnp.where(fired & (lanes >= cur), lanes, LANES)
+            f = jnp.min(cand)
+            run = jnp.where(inner_act, jnp.minimum(f, vend) - cur, 0)
+            allowed = jnp.clip(max_bits - pos, 0, run)
+            pos = pos + allowed
+            dead = dead | (allowed < run).astype(_I32)
+            do = inner_act & (f < vend) & (dead == 0)
+            ent = ext(erow, f)
+            entv = ext(vrow, f)
+            node = jnp.clip(ent >> 1, 0, N - 1)
+            a_t = (ent & 1) == 1
+            ok0 = pos < max_bits
+            fire_ok = do & ok0
+            dead = dead | (do & ~ok0).astype(_I32)
+            grp = fire_ok.astype(_I32)
+            kk = fire_ok.astype(_I32)
+            hc = ((entv >> 16) & 1) == 1
+            hgf = ((entv >> 17) & 1) == 1
+            c0 = rd(geo_ref, 0, node, N)
+            run_children = a_t & fire_ok & hc
+            dead_c = jnp.zeros((), jnp.bool_)
+            nsh = jnp.clip(n, 0, 31)
+            lsp_vals, lsp_slots = [], []
+            lip_vals, lip_slots = [], []
+            csum = jnp.zeros((), _I32)
+            isumk = jnp.zeros((), _I32)
+            tbase = b * T_ROWS
+            for k in range(4):
+                ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                ct3 = rd(t3s_ref, tbase, ch, N)
+                cmag = ct3 & 0x7FFFFFFF
+                cnneg = jax.lax.shift_right_logical(ct3, _C31)
+                csig = (
+                    jax.lax.shift_right_logical(cmag, nsh) != 0
+                )
+                uset = run_children & ~dead_c
+                okt = uset & ((pos + kk) < max_bits)
+                bt = csig & okt
+                dt = uset & ~okt
+                grp = grp | (bt.astype(_I32) << kk)
+                kk = kk + okt.astype(_I32)
+                oks = bt & ((pos + kk) < max_bits) & ~dt
+                dsx = bt & ~oks & ~dt
+                grp = grp | (jnp.where(oks, cnneg, 0) << kk)
+                kk = kk + oks.astype(_I32)
+                commit = bt & oks
+                lsp_vals.append(ct3)
+                lsp_slots.append((csum, commit, k))
+                csum = csum + commit.astype(_I32)
+                insig = okt & ~bt
+                lip_vals.append(ct3)
+                lip_slots.append((isumk, insig, k))
+                isumk = isumk + insig.astype(_I32)
+                dead_c = dead_c | dt | dsx
+            appendk([(lsp_ref, b * LSP_ROWS, lsp_vals)], lsp_cnt,
+                    lsp_slots, LSP_CAP, LSP_ROWS)
+            lsp_cnt = lsp_cnt + csum
+            appendk([(lip_ref, b * LIP_ROWS, lip_vals)],
+                    lip_w + lip_add, lip_slots, LIP_CAP, LIP_ROWS)
+            lip_add = lip_add + isumk
+            pos = seq_emit(b * W_ROWS, pos, grp, kk)
+            lbase = b * LIS_ROWS
+            reapp = a_t & fire_ok & hgf & ~dead_c
+            rmw(lis_ref, lbase, lis_t, node << 1, reapp, LIS_CAP)
+            rmw(lisv_ref, lbase, lis_t, entv, reapp, LIS_CAP)
+            lis_t = lis_t + reapp.astype(_I32)
+            b_fired = (~a_t) & fire_ok & hc
+            bent, bval = [], []
+            for k in range(4):
+                ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                bent.append((ch << 1) | 1)
+                bval.append(rd(t1_ref, tbase, ch, N))
+            appendk(
+                [(lis_ref, lbase, bent), (lisv_ref, lbase, bval)],
+                lis_t,
+                [(jnp.asarray(k, _I32), b_fired, k) for k in range(4)],
+                LIS_CAP, LIS_ROWS,
+            )
+            lis_t = lis_t + jnp.where(b_fired, 4, 0)
+            dead = dead | dead_c.astype(_I32)
+            cur = jnp.where(inner_act, f + 1, cur)
+            s = (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, lis_i, dead, done)
+            return s, cur
+
+        def any_true(flags):
+            out = flags[0]
+            for f in flags[1:]:
+                out = out | f
+            return out
+
+        def lip_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] * LANES < s[2]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                return tuple(
+                    lip_body_chain(b, states[b]) for b in range(B)
+                )
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def ref_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] * LANES < s[8]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                return tuple(
+                    ref_body_chain(b, states[b]) for b in range(B)
+                )
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def lis_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] < s[6]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                rows = []
+                states = list(states)
+                for b in range(B):
+                    s, ctx = lis_row_chain(b, states[b])
+                    states[b] = s
+                    rows.append(ctx)
+
+                def icond(t):
+                    sts, curs = t
+                    return any_true(tuple(
+                        (curs[b] < rows[b][3]) & (sts[b][10] == 0)
+                        & (sts[b][11] == 0)
+                        for b in range(B)
+                    ))
+
+                def ibody(t):
+                    sts, curs = t
+                    sts = list(sts)
+                    curs = list(curs)
+                    for b in range(B):
+                        sts[b], curs[b] = lis_fire_chain(
+                            b, sts[b], rows[b], curs[b]
+                        )
+                    return tuple(sts), tuple(curs)
+
+                starts = tuple(
+                    states[b][9] % LANES for b in range(B)
+                )
+                sts, _curs = jax.lax.while_loop(
+                    icond, ibody, (tuple(states), starts)
+                )
+                out = []
+                for b in range(B):
+                    s = sts[b]
+                    act = (s[10] == 0) & (s[11] == 0)
+                    # advance the worklist cursor past this row
+                    new_i = jnp.where(
+                        act & (s[9] < s[6]),
+                        jnp.clip(s[9] // LANES, 0, LIS_ROWS - 1)
+                        * LANES + rows[b][3],
+                        s[9],
+                    )
+                    out.append(tuple(
+                        new_i if i == 9 else s[i] for i in range(12)
+                    ))
+                return tuple(out)
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def outer_cond(states):
+            return any_true(tuple(
+                (s[10] == 0) & (s[11] == 0) for s in states
+            ))
+
+        def outer_body(states):
+            def zero9(states):
+                return tuple(
+                    tuple(
+                        jnp.zeros((), _I32) if i == 9 else s[i]
+                        for i in range(12)
+                    )
+                    for s in states
+                )
+
+            states = lip_phase(states)
+            states = zero9(states)
+            states = lis_phase(states)
+            states = zero9(states)
+            states = ref_phase(states)
+            out = []
+            for s in states:
+                (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                act = (dead == 0) & (done == 0)
+                done = done | (act & (n == 0)).astype(_I32)
+                z = jnp.zeros((), _I32)
+                out.append((
+                    pos,
+                    jnp.where(act, jnp.maximum(n - 1, 0), n),
+                    jnp.where(act, lip_w + lip_add, lip_cnt),
+                    z, z,
+                    z,
+                    jnp.where(act, lis_w, lis_t),
+                    lsp_cnt, jnp.where(act, lsp_cnt, lsp_snap), z,
+                    dead, done,
+                ))
+            return tuple(out)
+
+        z = jnp.zeros((), _I32)
+        init = tuple(
+            (
+                z, sc_ref[2 * b + 1],
+                jnp.asarray(n_lip0, _I32), z, z,
+                z, jnp.asarray(n_lis0, _I32),
+                z, z, z,
+                z, z,
+            )
+            for b in range(B)
+        )
+        end = jax.lax.while_loop(outer_cond, outer_body, init)
+        for b in range(B):
+            stat_ref[0, 2 * b] = end[b][0]
+            stat_ref[0, 2 * b + 1] = end[b][10]
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 127 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * W_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T1 stacked
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # T3s stacked
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # child0 (shared)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init stacked
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init (shared)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis values stacked
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (2B,)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B * LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((B * LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((B * LIS_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((B * LSP_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(arrs, max_ns, max_bits):
+        arrs = jnp.asarray(arrs, jnp.int32)
+        m, d, gm = significance_maps(arrs, ll_h, ll_w)
+        mf = m.reshape(B, -1).astype(_I32) + 1
+        df = d.reshape(B, -1).astype(_I32) + 1
+        gf = gm.reshape(B, -1).astype(_I32) + 1
+        flat = arrs.reshape(B, -1)
+        sgn = (flat >= 0).astype(_I32)
+        t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags[None]
+        t3s = (sgn << 31) | jnp.abs(flat)
+        pad = T_ROWS * LANES - N
+        t1p = jnp.pad(t1, ((0, 0), (0, pad))).reshape(
+            B * T_ROWS, LANES
+        )
+        t3sp = jnp.pad(t3s, ((0, 0), (0, pad))).reshape(
+            B * T_ROWS, LANES
+        )
+        lip_pay = t3s[:, lip0_j]
+        lip_pay = jnp.pad(
+            lip_pay, ((0, 0), (0, LI_ROWS * LANES - n_lip0))
+        ).reshape(B * LI_ROWS, LANES)
+        lisv0 = t1[:, lis_nodes_j]
+        lisv0 = jnp.pad(
+            lisv0, ((0, 0), (0, LS_ROWS * LANES - n_lis0))
+        ).reshape(B * LS_ROWS, LANES)
+        mb = jnp.minimum(
+            jnp.asarray(max_bits, _I32), jnp.asarray(cap_bits, _I32)
+        )
+        sc = jnp.stack(
+            [mb, jnp.asarray(max_ns, _I32)], axis=1
+        ).reshape(2 * B)
+        words2d, stat = call(
+            t1p, t3sp, geo2d, lip_pay, lisi2d, lisv0, sc
+        )
+        words = jax.lax.bitcast_convert_type(
+            words2d.reshape(B, W_ROWS * LANES)[:, :cap_words],
+            jnp.uint32,
+        )
+        totals = stat[0, 0::2]
+        overflows = (stat[0, 1::2] != 0) & (
+            jnp.asarray(max_bits, _I32) > jnp.asarray(cap_bits, _I32)
+        ) & (totals >= cap_bits - 32)
+        return words, totals, overflows
+
+    return fn
+
+
 def pallas_encode_batch_fn(
     c: int,
     h: int,
@@ -1076,11 +1794,26 @@ def _batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret, machine):
     return bfn
 
 
+def _ilv_chunk_b() -> int:
+    try:
+        return max(int(os.environ.get("SPIHT_TPU_PALLAS_ILV_B", "8")), 1)
+    except ValueError:
+        return 8
+
+
 def pallas_encode_batch(
     arrs: np.ndarray, ll_h: int, ll_w: int, max_bits,
-    interpret: bool = False,
+    interpret: bool = False, machine: str | None = None,
 ):
-    """Batched (bytes, max_n) list via one lax.map program."""
+    """Batched (bytes, max_n) list.
+
+    Routes to the B-chain INTERLEAVED machine (one kernel stepping all
+    chains per iteration — 1.4-1.7x per-chip over serialization,
+    BASELINE.md ILP spike) when its state fits VMEM, else to the
+    lax.map loop of single machines. SPIHT_TPU_PALLAS_ENC_BATCH=map|ilv
+    forces a route; SPIHT_TPU_PALLAS_ILV_B caps the chains per kernel
+    (default 8, chunked above that).
+    """
     from .oracle import compute_max_n
 
     arrs = np.ascontiguousarray(arrs, dtype=np.int32)
@@ -1092,17 +1825,43 @@ def pallas_encode_batch(
             [min(int(m), 2**31 - 2) for m in max_bits], np.int32
         )
     cap_words = _cap_words_for(c, h, w, int(mbs.max(initial=1)))
-    if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
-        raise MachineResourceLimit(f"{c}x{h}x{w}")
-    fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
-                                interpret)
-    mns = np.array([compute_max_n(a) for a in arrs], np.int32)
-    words, totals, ovf = fn(
-        jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
+    mode = os.environ.get("SPIHT_TPU_PALLAS_ENC_BATCH", "auto")
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
+    bchunk = min(_ilv_chunk_b(), B)
+    use_ilv = mode != "map" and machine == "hybrid" and (
+        interleaved_fits(bchunk, c, h, w, ll_h, ll_w, cap_words)
     )
-    words = np.asarray(words)
-    totals = np.asarray(totals)
-    ovf = np.asarray(ovf)
+    if mode == "ilv" and not use_ilv:
+        raise MachineResourceLimit(f"ilv B={bchunk} {c}x{h}x{w}")
+    mns = np.array([compute_max_n(a) for a in arrs], np.int32)
+    if use_ilv:
+        words_l, totals_l, ovf_l = [], [], []
+        for s in range(0, B, bchunk):
+            e = min(s + bchunk, B)
+            fn = _interleaved_fn(e - s, c, h, w, ll_h, ll_w,
+                                 cap_words, interpret)
+            wds, tot, ov = fn(
+                jnp.asarray(arrs[s:e]), jnp.asarray(mns[s:e]),
+                jnp.asarray(mbs[s:e]),
+            )
+            words_l.append(np.asarray(wds))
+            totals_l.append(np.asarray(tot))
+            ovf_l.append(np.asarray(ov))
+        words = np.concatenate(words_l)
+        totals = np.concatenate(totals_l)
+        ovf = np.concatenate(ovf_l)
+    else:
+        if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+            raise MachineResourceLimit(f"{c}x{h}x{w}")
+        fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
+                                    interpret, machine)
+        words, totals, ovf = fn(
+            jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
+        )
+        words = np.asarray(words)
+        totals = np.asarray(totals)
+        ovf = np.asarray(ovf)
     if ovf.any():
         raise EncCapacityOverflow(int(totals[int(np.argmax(ovf))]))
     return [

@@ -88,3 +88,91 @@ def test_pallas_encoder_constant_array():
     got, gmn = pallas_encode(arr, 4, 4, interpret=True)
     assert gmn == wmn == 5
     assert got == want
+
+
+def _ilv_batch(arrs, ll, mbs):
+    """Force the interleaved route (raises if it cannot run)."""
+    import os
+
+    from spiht_tpu.codec.pallas_encoder import pallas_encode_batch
+
+    old = os.environ.get("SPIHT_TPU_PALLAS_ENC_BATCH")
+    os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"] = "ilv"
+    try:
+        return pallas_encode_batch(arrs, *ll, mbs, interpret=True)
+    finally:
+        if old is None:
+            del os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"]
+        else:
+            os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"] = old
+
+
+@pytest.mark.parametrize(
+    "shape,ll,B",
+    [
+        ((1, 16, 16), (4, 4), 2),
+        ((3, 24, 32), (6, 8), 3),
+        ((1, 19, 19), (5, 5), 4),  # odd LL duplicate parents
+        ((2, 21, 13), (3, 2), 2),
+    ],
+)
+def test_interleaved_encoder_full_stream(rng, shape, ll, B):
+    """The B-chain interleaved machine is byte-identical per lane."""
+    nat = runtime.load()
+    arrs = np.stack([
+        (rng.standard_normal(shape) * s).astype(np.int32)
+        for s in rng.choice([7, 400, 3000], B)
+    ])
+    want = [nat.encode(arrs[b], *ll, 2**31 - 2) for b in range(B)]
+    got = _ilv_batch(arrs, ll, 2**31 - 2)
+    for b in range(B):
+        assert got[b][1] == want[b][1], b
+        assert got[b][0] == want[b][0], b
+
+
+def test_interleaved_encoder_heterogeneous_budgets_and_planes(rng):
+    """Chains with different max_n (plane counts) and different
+    max_bits cut mid-symbol independently; a zero image is legal."""
+    nat = runtime.load()
+    shape, ll = (3, 24, 24), (6, 6)
+    scales = [1, 60, 12000, 3]
+    arrs = np.stack([
+        (rng.standard_normal(shape) * s).astype(np.int32)
+        for s in scales
+    ])
+    arrs[3] = 0
+    mbs = [1, 333, 2897, 500]
+    want = [nat.encode(arrs[b], *ll, mbs[b]) for b in range(4)]
+    got = _ilv_batch(arrs, ll, mbs)
+    for b in range(4):
+        assert got[b][1] == want[b][1], b
+        assert got[b][0] == want[b][0], (b, mbs[b])
+
+
+def test_interleaved_odd_ll_budget_cuts(rng):
+    nat = runtime.load()
+    shape, ll = (1, 19, 19), (5, 5)
+    arrs = np.stack([
+        (rng.standard_normal(shape) * s).astype(np.int32)
+        for s in [3000, 7, 900]
+    ])
+    mbs = [13, 222, 2**31 - 2]
+    want = [nat.encode(arrs[b], *ll, mbs[b]) for b in range(3)]
+    got = _ilv_batch(arrs, ll, mbs)
+    for b in range(3):
+        assert got[b][1] == want[b][1] and got[b][0] == want[b][0], b
+
+
+def test_interleaved_vmem_accounting():
+    """The router only picks the interleaved machine when its exact
+    state formula fits the budget."""
+    from spiht_tpu.codec.pallas_encoder import (
+        _cap_words_for, interleaved_fits, interleaved_vmem_bytes,
+    )
+
+    cw = _cap_words_for(3, 537, 537, 262144)
+    vb = interleaved_vmem_bytes(8, 3, 537, 537, 12, 12, cw)
+    assert 0 < vb <= 128 << 20  # the measured-on-hardware B=8 config
+    assert interleaved_fits(8, 3, 537, 537, 12, 12, cw)
+    # 2048-class geometry stays out (packed-entry bound)
+    assert not interleaved_fits(2, 3, 2079, 2079, 17, 17, cw)
