@@ -49,6 +49,7 @@ from .device_decoder import _dec_geom, _words_of
 __all__ = [
     "pallas_decode_fn", "pallas_decode",
     "MachineResourceLimit", "machine_vmem_bytes", "machine_fits",
+    "interleaved_vmem_bytes", "interleaved_fits", "pallas_decode_batch",
 ]
 
 LANES = 128
@@ -1175,6 +1176,735 @@ def _hybrid_fn(
     return fn
 
 
+def _narrowed_caps(g, cap_words: int):
+    """Budget-narrowed queue capacities — safe for any stream of
+    <= cap_words*32 bits by the same bit-charging argument as
+    pallas_encoder._narrowed_caps (decode consumes the bits the encoder
+    emitted: LIP insert <-> one consumed child sig bit, LSP commit <->
+    two consumed bits, LIS appends <= consumed bits)."""
+    cap_bits = cap_words * 32
+    n_lip0 = max(int(g["lip_init"].size), 1)
+    n_lis0 = max(int(g["lis_init"].size), 1)
+    lip_cap = min(g["ent_bound"] + 1, n_lip0 + cap_bits + 2)
+    lsp_cap = min(g["ent_bound"] + 1, cap_bits // 2 + 2)
+    lis_cap = min(2 * g["lis_bound"] + 1, n_lis0 + cap_bits + 8)
+    return lip_cap, lis_cap, lsp_cap
+
+
+def interleaved_vmem_bytes(
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> int:
+    """VMEM bytes of the B-chain interleaved decode machine (geometry
+    table, LIP/LIS init entries shared; queues budget-narrowed)."""
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
+    li_rows = _rows(max(int(g["lip_init"].size), 1))
+    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    per_chain = (
+        _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap)
+        + _rows(cap_words)
+    )
+    shared = _rows(N) + li_rows + ls_rows + 256
+    return 4 * LANES * (B * per_chain + shared)
+
+
+def interleaved_fits(
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+) -> bool:
+    if c * h * w >= 1 << 24:
+        return False
+    if _has_duplicate_parents(h, w, ll_h, ll_w):
+        return False  # deferred-rec machine needs unique commits
+    return (
+        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
+@lru_cache(maxsize=None)
+def _interleaved_fn(
+    B: int,
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    cap_words: int,
+    interpret: bool = False,
+    out_dtype: str = "int32",
+):
+    """B-chain INTERLEAVED hybrid decode machine: ONE kernel steps B
+    independent machines per loop iteration so the B dependent parse
+    chains overlap on the core (see pallas_encoder._interleaved_fn and
+    the ILP spike in BASELINE.md). Per-chain semantics are identical to
+    ``_hybrid_fn`` (/root/reference/src/encoder_decoder.rs:307-454,
+    byte-prefix truncation included); finished chains are naturally
+    inert in the lockstep phase loops. Requires a duplicate-free parent
+    map (callers gate on ``interleaved_fits``).
+
+    fn(words u32[B,cap_words], nbits[B], max_ns[B]) -> rec (B,c,h,w).
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if c * h * w >= 1 << 24:
+        raise ValueError("geometry too large for packed queue entries")
+    g = _dec_geom(c, h, w, ll_h, ll_w)
+    N = c * h * w
+    LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
+    LIP_ROWS = _rows(LIP_CAP)
+    LIS_ROWS = _rows(LIS_CAP)
+    LSP_ROWS = _rows(LSP_CAP)
+    W_ROWS = _rows(cap_words)
+
+    geo_np = (
+        np.asarray(g["child0"], np.int64)
+        | (np.asarray(g["has_child"], np.int64) << 24)
+        | (np.asarray(g["hg"], np.int64) << 25)
+    ).astype(np.int32)
+    GEO_ROWS = _rows(N)
+    geo2d = jnp.asarray(_pad2d(geo_np, GEO_ROWS, np.int32))
+
+    lip0 = g["lip_init"]
+    lis0 = (g["lis_init"].astype(np.int64) << 1 | 1).astype(np.int32)
+    n_lip0 = int(lip0.size)
+    n_lis0 = int(lis0.size)
+    LI_ROWS = _rows(max(n_lip0, 1))
+    LS_ROWS = _rows(max(n_lis0, 1))
+    lipi2d = jnp.asarray(_pad2d(lip0, LI_ROWS, np.int32))
+    lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
+
+    vmem_bytes = interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+
+    _c31 = np.int32(31)
+    _c16 = np.int32(16)
+
+    # per-chain carry layout (i32 scalars), as in _hybrid_fn:
+    # 0 cur, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
+    # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
+    def kernel(words_ref, geo_ref, lipi_ref, lisi_ref, sc_ref,
+               lspn_ref, lspm_ref, stat_ref, lip_ref, lis_ref):
+        lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
+        sq0 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        sq1 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+        eye = (sq0 == sq1).astype(jnp.float32)
+        tri = (sq0 < sq1).astype(jnp.float32)
+        colf = sq1.astype(jnp.float32)
+        onesrow = jnp.ones((1, LANES), jnp.float32)
+
+        lspn_ref[:] = jnp.zeros((B * LSP_ROWS, LANES), _I32)
+        lspm_ref[:] = jnp.zeros((B * LSP_ROWS, LANES), _I32)
+        for b in range(B):
+            lip_ref[pl.ds(b * LIP_ROWS, LI_ROWS), :] = lipi_ref[:]
+            lis_ref[pl.ds(b * LIS_ROWS, LS_ROWS), :] = lisi_ref[:]
+
+        def rd(ref, base, idx, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            row = ref[pl.ds(base + i // LANES, 1), :]
+            return jnp.sum(
+                jnp.where(lanes == i % LANES, row, 0), dtype=_I32
+            )
+
+        def rmw(ref, base, idx, val, want, cap):
+            i = jnp.clip(idx, 0, cap - 1)
+            r = base + i // LANES
+            row = ref[pl.ds(r, 1), :]
+            ref[pl.ds(r, 1), :] = jnp.where(
+                (lanes == i % LANES) & want, val, row
+            )
+
+        def ext(row, lane_idx):
+            return jnp.sum(
+                jnp.where(lanes == lane_idx, row, 0), dtype=_I32
+            )
+
+        def appendk(targets, base_off, slots, cap):
+            """targets: [(ref, seg_base_row, vals)]."""
+            i0 = jnp.clip(base_off, 0, cap - 1)
+            r0 = i0 // LANES
+            accs = [
+                [jnp.zeros((1, LANES), _I32) for _ in targets]
+                for _ in range(2)
+            ]
+            mask = [jnp.zeros((1, LANES), jnp.bool_) for _ in range(2)]
+            for off, want, vi in slots:
+                lane0 = base_off + off - r0 * LANES
+                for r in range(2):
+                    m = (lanes == lane0 - r * LANES) & want
+                    mask[r] = mask[r] | m
+                    for t, (_ref, _b, vals) in enumerate(targets):
+                        accs[r][t] = accs[r][t] | jnp.where(
+                            m, vals[vi], 0
+                        )
+            nrows = (cap + LANES - 1) // LANES
+            for r in range(2):
+                ri = jnp.clip(r0 + r, 0, nrows - 1)
+                for t, (ref, seg_base, _vals) in enumerate(targets):
+                    old = ref[pl.ds(seg_base + ri, 1), :]
+                    ref[pl.ds(seg_base + ri, 1), :] = jnp.where(
+                        mask[r], accs[r][t], old
+                    )
+
+        def prefix(v_i32):
+            return jnp.dot(
+                v_i32.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(_I32)
+
+        def isum(v):
+            return jnp.sum(v.astype(_I32), dtype=_I32)
+
+        def scatter_rows(w_off, vals_list, keep):
+            """vals_list: [(ref, seg_base_row, rows_cap, vals)]."""
+            dest = (w_off % LANES) + prefix(keep.astype(_I32))
+            dm = jnp.where(keep, dest, -1).astype(jnp.float32)
+            d_t = jax.lax.dot_general(
+                jnp.broadcast_to(dm, (LANES, LANES)), eye,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            r0 = w_off // LANES
+            for r in range(2):
+                p = (d_t - (r * LANES) == colf).astype(jnp.float32)
+                msk = jnp.dot(
+                    onesrow, p, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(_I32)
+                for ref, seg_base, rows_cap, vals in vals_list:
+                    lo = (vals & 0xFFFF).astype(jnp.float32)
+                    hi = jax.lax.shift_right_logical(
+                        vals, _c16
+                    ).astype(jnp.float32)
+                    plo = jnp.dot(
+                        lo, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    phi = jnp.dot(
+                        hi, p, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    neww = plo.astype(_I32) | (phi.astype(_I32) << 16)
+                    ri = seg_base + jnp.clip(r0 + r, 0, rows_cap - 1)
+                    old = ref[pl.ds(ri, 1), :]
+                    ref[pl.ds(ri, 1), :] = jnp.where(
+                        msk != 0, neww, old
+                    )
+
+        def bits128(wbase, cur):
+            wi = cur >> 5
+            s = cur & 31
+            ws = [rd(words_ref, wbase, wi + k, cap_words)
+                  for k in range(5)]
+            sj = s + lanes
+            k = sj >> 5
+            sh = sj & 31
+            val = jnp.where(
+                k == 0, ws[0],
+                jnp.where(
+                    k == 1, ws[1],
+                    jnp.where(k == 2, ws[2],
+                              jnp.where(k == 3, ws[3], ws[4])),
+                ),
+            )
+            return jax.lax.shift_right_logical(val, sh) & 1
+
+        def base_val_of(n):
+            return jnp.where(
+                n == 0,
+                jnp.ones((), _I32),
+                ((1 << jnp.maximum(n - 1, 0)) + (1 << n)).astype(_I32),
+            )
+
+        def shift_lanes(v, d, fill):
+            return jnp.where(lanes < d, fill, jnp.roll(v, d, axis=1))
+
+        def token_heads(b):
+            fh = b
+            ft = jnp.zeros((1, LANES), _I32)
+            d = 1
+            while d < LANES:
+                gh = shift_lanes(fh, d, 0)
+                gt = shift_lanes(ft, d, 1)
+                nh = jnp.where(gh == 0, fh, ft)
+                nt = jnp.where(gt == 0, fh, ft)
+                fh, ft = nh, nt
+                d *= 2
+            sb = shift_lanes(fh, 1, 0)
+            return sb == 0
+
+        def lip_body_chain(b, s):
+            (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            act = (r * LANES < lip_cnt) & (dead == 0) & (done == 0)
+            nbits = sc_ref[2 * b]
+            lbase = b * LIP_ROWS
+            rr = jnp.clip(r, 0, LIP_ROWS - 1)
+            row = lip_ref[pl.ds(lbase + rr, 1), :]
+            vend = jnp.where(
+                act, jnp.minimum(lip_cnt - r * LANES, LANES), 0
+            )
+            bv = base_val_of(n)
+
+            def icond(t):
+                return (t[1] < vend) & (t[3] == 0)
+
+            def ibody(t):
+                cur, cpos, lsp_cnt, dead, cmask = t
+                bvec = bits128(b * W_ROWS, cur)
+                hd = token_heads(bvec)
+                remaining = vend - cpos
+                rk = prefix(hd.astype(_I32))
+                within = rk < remaining
+                fits = (lanes + 1 + bvec) <= LANES
+                badq = jnp.min(
+                    jnp.where(hd & ~(within & fits), lanes, LANES)
+                )
+                parsed = hd & (lanes < badq)
+                pos_q = cur + lanes
+                ok0 = parsed & (pos_q < nbits)
+                fired = ok0 & (bvec == 1)
+                ok1 = fired & ((pos_q + 1) < nbits)
+                sgn_h = jnp.roll(bvec, -1, axis=1)
+                commit_h = fired & ok1
+                dead = dead | (
+                    isum(parsed & ~ok0) + isum(fired & ~ok1) > 0
+                ).astype(_I32)
+                dest = jnp.where(parsed, cpos + rk, -1).astype(
+                    jnp.float32
+                )
+                d_t = jax.lax.dot_general(
+                    jnp.broadcast_to(dest, (LANES, LANES)), eye,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                p = (d_t == colf).astype(jnp.float32)
+
+                def perm(v):
+                    return jnp.dot(
+                        v.astype(jnp.float32), p,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(_I32)
+
+                fired_e = perm(fired.astype(_I32))
+                commit_e = perm(commit_h.astype(_I32))
+                sgn_e = perm(jnp.where(commit_h, sgn_h, 0))
+                cmask = cmask | fired_e
+                scatter_rows(
+                    lsp_cnt,
+                    [
+                        (lspn_ref, b * LSP_ROWS, LSP_ROWS,
+                         row | (sgn_e << 24)),
+                        (lspm_ref, b * LSP_ROWS, LSP_ROWS,
+                         bv + jnp.zeros((1, LANES), _I32)),
+                    ],
+                    commit_e == 1,
+                )
+                lsp_cnt = lsp_cnt + isum(commit_h)
+                cur = cur + isum(parsed) + isum(parsed & (bvec == 1))
+                cpos = cpos + isum(parsed)
+                return (cur, cpos, lsp_cnt, dead, cmask)
+
+            z = jnp.zeros((), _I32)
+            t = jax.lax.while_loop(
+                icond, ibody,
+                (cur, z, lsp_cnt, dead, jnp.zeros((1, LANES), _I32)),
+            )
+            cur, _, lsp_cnt, dead, cmask = t
+            retain = (lanes < vend) & (cmask == 0)
+            scatter_rows(
+                lip_w, [(lip_ref, lbase, LIP_ROWS, row)], retain
+            )
+            r = jnp.where(act, r + 1, r)
+            return (cur, n, lip_cnt, lip_w + isum(retain),
+                    lip_add, lis_w, lis_t, lsp_cnt, lsp_snap,
+                    r, dead, done)
+
+        child_off = (0, 1, w, w + 1)
+
+        def lis_body_chain(b, s):
+            (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, lis_i, dead, done) = s
+            act = (lis_i < lis_t) & (dead == 0) & (done == 0)
+            nbits = sc_ref[2 * b]
+            lbase = b * LIS_ROWS
+            r = jnp.clip(lis_i // LANES, 0, LIS_ROWS - 1)
+            erow = lis_ref[pl.ds(lbase + r, 1), :]
+            start = lis_i % LANES
+            vend = jnp.where(
+                act, jnp.minimum(lis_t - r * LANES, LANES), start
+            )
+            bv = base_val_of(n)
+            wbase = b * W_ROWS
+
+            def icond(t):
+                return (t[1] < vend) & (t[5] == 0)
+
+            def ibody(t):
+                (cur, cpos, lip_add, lis_t, lsp_cnt, dead, fmask) = t
+                wi = jnp.clip(cur >> 5, 0, cap_words - 1)
+                w0 = rd(words_ref, wbase, wi, cap_words)
+                w1 = rd(words_ref, wbase, wi + 1, cap_words)
+                w2 = rd(words_ref, wbase, wi + 2, cap_words)
+                sft = cur & 31
+                lo = jax.lax.shift_right_logical(w0, sft) | jnp.where(
+                    sft == 0, jnp.zeros((), _I32), w1 << (32 - sft)
+                )
+                hi = jax.lax.shift_right_logical(w1, sft) | jnp.where(
+                    sft == 0, jnp.zeros((), _I32), w2 << (32 - sft)
+                )
+
+                def wbit64(idx):
+                    losh = jax.lax.shift_right_logical(
+                        lo, jnp.clip(idx, 0, 31)
+                    )
+                    hish = jax.lax.shift_right_logical(
+                        hi, jnp.clip(idx - 32, 0, 31)
+                    )
+                    return (jnp.where(idx < 32, losh, hish) & 1) == 1
+
+                lov = lo + jnp.zeros((1, LANES), _I32)
+                hiv = hi + jnp.zeros((1, LANES), _I32)
+
+                def scan_vec(roff):
+                    idxv = roff + lanes
+                    v = jnp.where(
+                        idxv < 32,
+                        jax.lax.shift_right_logical(
+                            lov, jnp.clip(idxv, 0, 31)
+                        ),
+                        jax.lax.shift_right_logical(
+                            hiv, jnp.clip(idxv - 32, 0, 31)
+                        ),
+                    )
+                    return v & 1
+
+                lsp_sl, lip_sl, lis_sl = [], [], []
+                csum = jnp.zeros((), _I32)
+                isumk = jnp.zeros((), _I32)
+                lsum = jnp.zeros((), _I32)
+                roff = jnp.zeros((), _I32)
+                adv_ok = dead == 0
+                dead_n = jnp.zeros((), jnp.bool_)
+                for _phase in range(2):
+                    remaining = vend - cpos
+                    wlim = jnp.clip(
+                        jnp.minimum(remaining, 54 - roff), 0, 127
+                    )
+                    blim = jnp.clip(nbits - cur - roff, 0, wlim)
+                    bvecp = scan_vec(roff)
+                    one_at = jnp.min(
+                        jnp.where(
+                            (bvecp == 1) & (lanes < blim),
+                            lanes, LANES,
+                        )
+                    )
+                    hit = (one_at < blim) & adv_ok
+                    run = jnp.where(
+                        adv_ok,
+                        jnp.where(one_at < blim, one_at, blim),
+                        0,
+                    )
+                    dead_s = adv_ok & (one_at >= blim) & (blim < wlim)
+                    roff = roff + run
+                    cpos_f = cpos + run
+                    cpos = cpos_f + hit.astype(_I32)
+                    fmask = fmask | jnp.where(
+                        (lanes == cpos_f) & hit, 1, 0
+                    )
+                    e = ext(erow, cpos_f)
+                    node = jnp.clip(e >> 1, 0, N - 1)
+                    is_a = (e & 1) == 1
+                    gw = rd(geo_ref, 0, node, N)
+                    hc = ((gw >> 24) & 1) == 1
+                    hgf = ((gw >> 25) & 1) == 1
+                    c0 = gw & 0xFFFFFF
+                    a_fired = is_a & hit
+                    run_children = a_fired & hc
+                    koff = jnp.ones((), _I32)
+                    dead_c = jnp.zeros((), jnp.bool_)
+                    scur = cur + roff
+                    for k in range(4):
+                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                        uset = run_children & ~dead_c
+                        okt = uset & ((scur + koff) < nbits)
+                        bt = wbit64(roff + koff) & okt
+                        dt = uset & ~okt
+                        koff = koff + okt.astype(_I32)
+                        oks = bt & ((scur + koff) < nbits) & ~dt
+                        bs = wbit64(roff + koff) & oks
+                        ds = bt & ~oks & ~dt
+                        koff = koff + oks.astype(_I32)
+                        commit = bt & oks
+                        lsp_sl.append(
+                            (csum, commit,
+                             ch | (jnp.where(bs, 1, 0) << 24))
+                        )
+                        csum = csum + commit.astype(_I32)
+                        insig = okt & ~bt
+                        lip_sl.append((isumk, insig, ch))
+                        isumk = isumk + insig.astype(_I32)
+                        dead_c = dead_c | dt | ds
+                    reapp = a_fired & hgf & ~dead_c
+                    lis_sl.append((lsum, reapp, node << 1))
+                    lsum = lsum + reapp.astype(_I32)
+                    b_fired = (~is_a) & hit & hc
+                    for k in range(4):
+                        lis_sl.append(
+                            (lsum + k, b_fired,
+                             (jnp.clip(c0 + child_off[k], 0,
+                                       N - 1) << 1) | 1)
+                        )
+                    lsum = lsum + jnp.where(b_fired, 4, 0)
+                    roff = roff + jnp.where(hit, koff, 0)
+                    adv_ok = adv_ok & ~dead_s & ~dead_c
+                    dead_n = dead_n | dead_s | dead_c
+                appendk(
+                    [(lspn_ref, b * LSP_ROWS,
+                      [v for _, _, v in lsp_sl]),
+                     (lspm_ref, b * LSP_ROWS, [bv] * len(lsp_sl))],
+                    lsp_cnt,
+                    [(o, wnt, i)
+                     for i, (o, wnt, _) in enumerate(lsp_sl)],
+                    LSP_CAP,
+                )
+                lsp_cnt = lsp_cnt + csum
+                appendk(
+                    [(lip_ref, b * LIP_ROWS,
+                      [v for _, _, v in lip_sl])],
+                    lip_w + lip_add,
+                    [(o, wnt, i)
+                     for i, (o, wnt, _) in enumerate(lip_sl)],
+                    LIP_CAP,
+                )
+                lip_add = lip_add + isumk
+                appendk(
+                    [(lis_ref, lbase, [v for _, _, v in lis_sl])],
+                    lis_t,
+                    [(o, wnt, i)
+                     for i, (o, wnt, _) in enumerate(lis_sl)],
+                    LIS_CAP,
+                )
+                lis_t = lis_t + lsum
+                cur = cur + roff
+                dead = dead | dead_n.astype(_I32)
+                return (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
+                        fmask)
+
+            t = jax.lax.while_loop(
+                icond, ibody,
+                (cur, start, lip_add, lis_t, lsp_cnt, dead,
+                 jnp.zeros((1, LANES), _I32)),
+            )
+            cur, _, lip_add, lis_t, lsp_cnt, dead, fmask = t
+            retain = (lanes >= start) & (lanes < vend) & (fmask == 0)
+            scatter_rows(
+                lis_w, [(lis_ref, lbase, LIS_ROWS, erow)], retain
+            )
+            post_act = (dead == 0) & (done == 0)
+            new_i = jnp.where(
+                post_act & (lis_i < lis_t), r * LANES + vend, lis_i
+            )
+            return (cur, n, lip_cnt, lip_w, lip_add,
+                    lis_w + isum(retain), lis_t, lsp_cnt, lsp_snap,
+                    new_i, dead, done)
+
+        def ref_body_chain(b, s):
+            (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+             lsp_cnt, lsp_snap, r, dead, done) = s
+            act = (r * LANES < lsp_snap) & (dead == 0) & (done == 0)
+            nbits = sc_ref[2 * b]
+            rr = jnp.clip(r, 0, LSP_ROWS - 1)
+            mrow = lspm_ref[pl.ds(b * LSP_ROWS + rr, 1), :]
+            valid = act & (lanes < (lsp_snap - r * LANES))
+            bvec = bits128(b * W_ROWS, cur)
+            off = cur + prefix(valid.astype(_I32))
+            ok = valid & (off < nbits)
+            nbit = (1 << n).astype(_I32)
+            newm = jnp.where(bvec == 1, mrow | nbit, mrow & ~nbit)
+            lspm_ref[pl.ds(b * LSP_ROWS + rr, 1), :] = jnp.where(
+                ok, newm, mrow
+            )
+            dead = dead | (isum(valid & ~ok) > 0).astype(_I32)
+            r = jnp.where(act, r + 1, r)
+            return (cur + isum(ok), n, lip_cnt, lip_w, lip_add,
+                    lis_w, lis_t, lsp_cnt, lsp_snap, r, dead, done)
+
+        def any_true(flags):
+            out = flags[0]
+            for f in flags[1:]:
+                out = out | f
+            return out
+
+        def lip_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] * LANES < s[2]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                return tuple(
+                    lip_body_chain(b, states[b]) for b in range(B)
+                )
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def lis_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] < s[6]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                return tuple(
+                    lis_body_chain(b, states[b]) for b in range(B)
+                )
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def ref_phase(states):
+            def cond(states):
+                return any_true(tuple(
+                    (s[9] * LANES < s[8]) & (s[10] == 0) & (s[11] == 0)
+                    for s in states
+                ))
+
+            def body(states):
+                return tuple(
+                    ref_body_chain(b, states[b]) for b in range(B)
+                )
+
+            return jax.lax.while_loop(cond, body, states)
+
+        def outer_cond(states):
+            return any_true(tuple(
+                (s[10] == 0) & (s[11] == 0) for s in states
+            ))
+
+        def outer_body(states):
+            def zero9(states):
+                return tuple(
+                    tuple(
+                        jnp.zeros((), _I32) if i == 9 else s[i]
+                        for i in range(12)
+                    )
+                    for s in states
+                )
+
+            states = lip_phase(states)
+            states = zero9(states)
+            states = lis_phase(states)
+            states = zero9(states)
+            states = ref_phase(states)
+            out = []
+            for s in states:
+                (cur, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
+                 lsp_cnt, lsp_snap, r, dead, done) = s
+                act = (dead == 0) & (done == 0)
+                done = done | (act & (n == 0)).astype(_I32)
+                z = jnp.zeros((), _I32)
+                out.append((
+                    cur,
+                    jnp.where(act, jnp.maximum(n - 1, 0), n),
+                    jnp.where(act, lip_w + lip_add, lip_cnt),
+                    z, z,
+                    z,
+                    jnp.where(act, lis_w, lis_t),
+                    lsp_cnt, jnp.where(act, lsp_cnt, lsp_snap), z,
+                    dead, done,
+                ))
+            return tuple(out)
+
+        z = jnp.zeros((), _I32)
+        init = tuple(
+            (
+                z, sc_ref[2 * b + 1],
+                jnp.asarray(n_lip0, _I32), z, z,
+                z, jnp.asarray(n_lis0, _I32),
+                z, z, z,
+                z, z,
+            )
+            for b in range(B)
+        )
+        end = jax.lax.while_loop(outer_cond, outer_body, init)
+        for b in range(B):
+            stat_ref[0, 2 * b] = end[b][7]   # lsp_cnt
+            stat_ref[0, 2 * b + 1] = end[b][10]
+
+    params = {}
+    if not interpret:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                max(vmem_bytes + (8 << 20), 24 << 20), 127 << 20
+            )
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * LSP_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B * LSP_ROWS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # words stacked
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # geo (shared)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init (shared)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init (shared)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (2B,)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B * LIP_ROWS, LANES), jnp.int32),
+            pltpu.VMEM((B * LIS_ROWS, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+        **params,
+    )
+
+    @jax.jit
+    def fn(words, nbits, max_ns):
+        words_i = jax.lax.bitcast_convert_type(
+            jnp.asarray(words, jnp.uint32), jnp.int32
+        )
+        words2d = jnp.zeros((B, W_ROWS * LANES), jnp.int32).at[
+            :, :cap_words
+        ].set(words_i).reshape(B * W_ROWS, LANES)
+        sc = jnp.stack(
+            [jnp.asarray(nbits, _I32), jnp.asarray(max_ns, _I32)],
+            axis=1,
+        ).reshape(2 * B)
+        lspn, lspm, stat = call(words2d, geo2d, lipi2d, lisi2d, sc)
+        lspn = lspn.reshape(B, LSP_ROWS * LANES)
+        lspm = lspm.reshape(B, LSP_ROWS * LANES)
+        cnt = stat[0, 0::2]
+        nodes = lspn & 0xFFFFFF
+        sgn = (lspn >> 24) & 1
+        idx = jnp.arange(LSP_ROWS * LANES, dtype=_I32)
+        live = idx[None, :] < cnt[:, None]
+        vals = jnp.where(sgn == 1, lspm, -lspm)
+        tgt = jnp.where(live, nodes, N)
+        rec = jnp.zeros((B, N), jnp.int32).at[
+            jnp.arange(B, dtype=_I32)[:, None], tgt
+        ].set(jnp.where(live, vals, 0), mode="drop")
+        rec = rec.reshape(B, c, h, w)
+        if out_dtype == "int16":
+            rec = rec.astype(jnp.int16)
+        return rec
+
+    return fn
+
+
 def pallas_decode(
     data: bytes, max_n: int, c: int, h: int, w: int, ll_h: int, ll_w: int,
     interpret: bool = False,
@@ -1224,11 +1954,24 @@ def _dec_batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret,
     return bfn
 
 
+def _ilv_chunk_b() -> int:
+    try:
+        return max(int(os.environ.get("SPIHT_TPU_PALLAS_ILV_B", "8")), 1)
+    except ValueError:
+        return 8
+
+
 def pallas_decode_batch(
     datas, max_ns, c: int, h: int, w: int, ll_h: int, ll_w: int,
-    interpret: bool = False,
+    interpret: bool = False, machine: str | None = None,
 ) -> np.ndarray:
-    """Decode B same-geometry streams in one program -> rec (B,c,h,w)."""
+    """Decode B same-geometry streams in one program -> rec (B,c,h,w).
+
+    Routes to the B-chain INTERLEAVED machine when its state fits VMEM
+    and the geometry is duplicate-parent free, else to the lax.map loop
+    of single machines. SPIHT_TPU_PALLAS_DEC_BATCH=map|ilv forces a
+    route; SPIHT_TPU_PALLAS_ILV_B caps the chains per kernel.
+    """
     B = len(datas)
     cap_words = max(
         max((len(d) * 8 + 31) // 32 for d in datas), 1
@@ -1239,9 +1982,30 @@ def pallas_decode_batch(
     if mns.ndim == 0:
         mns = np.full(B, int(mns), np.int32)
     od = "int16" if int(mns.max()) <= 13 else "int32"
-    fn = pallas_decode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
-                                interpret, out_dtype=od)
-    rec = np.asarray(
-        fn(jnp.asarray(words), jnp.asarray(nbits), jnp.asarray(mns))
+    mode = os.environ.get("SPIHT_TPU_PALLAS_DEC_BATCH", "auto")
+    if machine is None:
+        machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
+    bchunk = min(_ilv_chunk_b(), B)
+    use_ilv = mode != "map" and machine == "hybrid" and (
+        interleaved_fits(bchunk, c, h, w, ll_h, ll_w, cap_words)
     )
+    if mode == "ilv" and not use_ilv:
+        raise MachineResourceLimit(f"ilv B={bchunk} {c}x{h}x{w}")
+    if use_ilv:
+        recs = []
+        for s in range(0, B, bchunk):
+            e = min(s + bchunk, B)
+            fn = _interleaved_fn(e - s, c, h, w, ll_h, ll_w,
+                                 cap_words, interpret, od)
+            recs.append(np.asarray(fn(
+                jnp.asarray(words[s:e]), jnp.asarray(nbits[s:e]),
+                jnp.asarray(mns[s:e]),
+            )))
+        rec = np.concatenate(recs)
+    else:
+        fn = pallas_decode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
+                                    interpret, machine, out_dtype=od)
+        rec = np.asarray(
+            fn(jnp.asarray(words), jnp.asarray(nbits), jnp.asarray(mns))
+        )
     return rec.astype(np.int32, copy=False) if od == "int16" else rec

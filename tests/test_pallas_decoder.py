@@ -111,3 +111,86 @@ def test_pallas_decoder_int16_shipping(rng, machine):
                         mn))
     assert got.dtype == np.int16
     np.testing.assert_array_equal(got.astype(np.int32), want)
+
+
+def _ilv_decode_batch(datas, mns, shape, ll):
+    """Force the interleaved route (raises if it cannot run)."""
+    import os
+
+    from spiht_tpu.codec.pallas_decoder import pallas_decode_batch
+
+    old = os.environ.get("SPIHT_TPU_PALLAS_DEC_BATCH")
+    os.environ["SPIHT_TPU_PALLAS_DEC_BATCH"] = "ilv"
+    try:
+        return pallas_decode_batch(datas, mns, *shape, *ll,
+                                   interpret=True)
+    finally:
+        if old is None:
+            del os.environ["SPIHT_TPU_PALLAS_DEC_BATCH"]
+        else:
+            os.environ["SPIHT_TPU_PALLAS_DEC_BATCH"] = old
+
+
+@pytest.mark.parametrize(
+    "shape,ll,B",
+    [
+        ((1, 16, 16), (4, 4), 2),
+        ((3, 24, 32), (6, 8), 3),
+        ((2, 34, 18), (4, 2), 4),
+    ],
+)
+def test_interleaved_decoder_exact(rng, shape, ll, B):
+    """The B-chain interleaved machine reconstructs every lane exactly,
+    including per-lane mid-symbol budget cuts."""
+    nat = runtime.load()
+    scales = rng.choice([7, 400, 3000, 12000], B)
+    arrs = np.stack([
+        (rng.standard_normal(shape) * s).astype(np.int32)
+        for s in scales
+    ])
+    mbs = [2**31 - 2, 777, 64, 1333][:B]
+    streams = [nat.encode(arrs[b], *ll, mbs[b]) for b in range(B)]
+    datas = [s[0] for s in streams]
+    mns = [s[1] for s in streams]
+    want = np.stack([
+        nat.decode(datas[b], mns[b], *shape, *ll) for b in range(B)
+    ])
+    got = _ilv_decode_batch(datas, mns, shape, ll)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_interleaved_decoder_byte_prefix_truncation(rng):
+    nat = runtime.load()
+    shape, ll = (3, 24, 24), (6, 6)
+    arrs = np.stack([
+        (rng.standard_normal(shape) * s).astype(np.int32)
+        for s in [2000, 5, 60000]
+    ])
+    streams = [nat.encode(arrs[b], *ll, 2**31 - 2) for b in range(3)]
+    datas = [streams[0][0][:7], streams[1][0][:1], streams[2][0][:100]]
+    mns = [s[1] for s in streams]
+    want = np.stack([
+        nat.decode(datas[b], mns[b], *shape, *ll) for b in range(3)
+    ])
+    got = _ilv_decode_batch(datas, mns, shape, ll)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_interleaved_decoder_odd_ll_routing(rng):
+    """Duplicate-parent geometries are rejected under forced ilv and
+    fall back to lax.map in auto mode (shared-rec semantics need the
+    sequential machine)."""
+    from spiht_tpu.codec.pallas_decoder import (
+        MachineResourceLimit, interleaved_fits, pallas_decode_batch,
+    )
+
+    assert not interleaved_fits(2, 1, 19, 19, 5, 5, 64)
+    with pytest.raises(MachineResourceLimit):
+        _ilv_decode_batch([b"\x00"], [3], (1, 19, 19), (5, 5))
+    nat = runtime.load()
+    arr = (rng.standard_normal((1, 19, 19)) * 900).astype(np.int32)
+    data, mn = nat.encode(arr, 5, 5, 500)
+    got = pallas_decode_batch([data], [mn], 1, 19, 19, 5, 5,
+                              interpret=True)
+    want = nat.decode(data, mn, 1, 19, 19, 5, 5)
+    np.testing.assert_array_equal(got[0], want)
