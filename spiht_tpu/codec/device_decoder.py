@@ -986,10 +986,29 @@ def decode_device_with_metadata(
     top_slice,
     other_slices,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Device decode + the per-bit decoder-state trace array."""
+    """Device decode + the per-bit decoder-state trace array.
+
+    Routes to the fast hybrid Pallas machine + event-log expansion
+    (codec/meta_expand.py) on TPU backends when the geometry is
+    duplicate-parent free — the trace itself rides a compact 1-i32/bit
+    log out of the kernel instead of forcing the fully sequential XLA
+    machine (SPIHT_TPU_PALLAS_META=0/1 overrides)."""
     nbits = len(data) * 8
     cap_words = max((nbits + 31) // 32, 1)
     level = len(other_slices)
+    flag = os.environ.get("SPIHT_TPU_PALLAS_META")
+    use_fast = flag == "1" or (flag is None and _use_pallas_machine(c, h, w))
+    if use_fast:
+        from .meta_expand import pallas_decode_with_metadata
+        from .pallas_decoder import MachineResourceLimit
+
+        try:
+            return pallas_decode_with_metadata(
+                data, int(n), c, h, w, ll_h, ll_w, top_slice,
+                other_slices,
+            )
+        except MachineResourceLimit:
+            pass  # sequential XLA machine handles every geometry
     # freeze rect geometry into a hashable static arg
     rect = tuple(
         map(

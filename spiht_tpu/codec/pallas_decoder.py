@@ -510,6 +510,7 @@ def _hybrid_fn(
     cap_words: int,
     interpret: bool = False,
     out_dtype: str = "int32",
+    with_log: bool = False,
 ):
     """Hybrid vector/sequential decode machine (production for
     duplicate-free geometries).
@@ -537,8 +538,17 @@ def _hybrid_fn(
         machine never reads its queues again.
 
     Bit-for-bit semantics: /root/reference/src/encoder_decoder.rs:307-454
-    including byte-prefix truncation (plain decode; the metadata trace
-    stays on the XLA machine).
+    including byte-prefix truncation.
+
+    with_log=True additionally emits the COMPACT EVENT LOG: one packed
+    i32 per attempted bit at its stream offset —
+    ``node | action << 24 | (n+1) << 27`` (action ids as
+    device_decoder._A_*; the +1 marks written rows) — from which
+    codec/meta_expand.py reconstructs the reference 8-column metadata
+    trace (/root/reference/src/encoder_decoder.rs:616-630) outside the
+    kernel. The log rows for bulk-parsed windows are vector writes
+    placed with a dynamic lane roll, so the fast machine keeps its
+    run-skipping structure.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -554,6 +564,7 @@ def _hybrid_fn(
     LIS_ROWS = _rows(LIS_CAP)
     LSP_ROWS = _rows(LSP_CAP)
     W_ROWS = _rows(cap_words)
+    LOG_ROWS = _rows(cap_words * 32 + 1) if with_log else 0
 
     geo_np = (
         np.asarray(g["child0"], np.int64)
@@ -574,7 +585,7 @@ def _hybrid_fn(
 
     vmem_bytes = 4 * LANES * (
         LIP_ROWS + LIS_ROWS + 2 * LSP_ROWS + GEO_ROWS + W_ROWS
-        + LI_ROWS + LS_ROWS + 256
+        + LOG_ROWS + LI_ROWS + LS_ROWS + 256
     )
 
     _c31 = np.int32(31)
@@ -584,7 +595,12 @@ def _hybrid_fn(
     # 0 cur, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
     def kernel(words_ref, geo_ref, lipi_ref, lisi_ref, sc_ref,
-               lspn_ref, lspm_ref, stat_ref, lip_ref, lis_ref):
+               lspn_ref, lspm_ref, stat_ref, *rest):
+        if with_log:
+            log_ref, lip_ref, lis_ref = rest
+        else:
+            lip_ref, lis_ref = rest
+            log_ref = None
         nbits = sc_ref[0]
         max_n = sc_ref[1]
         lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
@@ -599,6 +615,30 @@ def _hybrid_fn(
         lspm_ref[:] = jnp.zeros((LSP_ROWS, LANES), _I32)
         lip_ref[0:LI_ROWS, :] = lipi_ref[:]
         lis_ref[0:LS_ROWS, :] = lisi_ref[:]
+        if with_log:
+            log_ref[:] = jnp.zeros((LOG_ROWS, LANES), _I32)
+
+        def place_log(vals, mask, cur):
+            """Write vals[q] (event at stream offset cur+q, q < 128) to
+            the log buffer: one dynamic lane roll + a 2-row masked
+            write."""
+            if not with_log:
+                return
+            s = cur % LANES
+            r0 = cur // LANES
+            mi = mask.astype(_I32)
+            v = pltpu.roll(jnp.where(mask, vals, 0), s, 1)
+            m = pltpu.roll(mi, s, 1)
+            ra = jnp.clip(r0, 0, LOG_ROWS - 1)
+            row = log_ref[pl.ds(ra, 1), :]
+            log_ref[pl.ds(ra, 1), :] = jnp.where(
+                (m != 0) & (lanes >= s), v, row
+            )
+            rb = jnp.clip(r0 + 1, 0, LOG_ROWS - 1)
+            row1 = log_ref[pl.ds(rb, 1), :]
+            log_ref[pl.ds(rb, 1), :] = jnp.where(
+                (m != 0) & (lanes < s), v, row1
+            )
 
         def rd(ref, idx, cap):
             i = jnp.clip(idx, 0, cap - 1)
@@ -810,6 +850,35 @@ def _hybrid_fn(
                         jnp.where(commit_h, sgn_h, 0)
                     )
                     cmask = cmask | fired_e
+                    if with_log:
+                        # event rows: action 0 at each parsed head,
+                        # action 1 at its sign slot (head lane + 1);
+                        # node ids ride the INVERSE permute (entry ->
+                        # head lanes), 16-bit halves for exactness
+                        def iperm(v):
+                            return jax.lax.dot_general(
+                                v.astype(jnp.float32), p,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST,
+                            ).astype(_I32)
+
+                        nodes_h = iperm(row & 0xFFFF) | (
+                            iperm(jax.lax.shift_right_logical(
+                                row, _c16)) << 16
+                        )
+                        nf = (n + 1) << 27
+                        pos_ok = pos_q <= nbits
+                        m0 = parsed & pos_ok
+                        m1 = (jnp.roll(fired.astype(_I32), 1, axis=1)
+                              != 0) & pos_ok
+                        a1 = jnp.roll(nodes_h, 1, axis=1) | (
+                            1 << 24) | nf
+                        place_log(
+                            jnp.where(m0, nodes_h | nf, 0)
+                            | jnp.where(m1, a1, 0),
+                            m0 | m1, cur,
+                        )
                     # LSP appends, in entry order
                     scatter_rows(
                         lsp_cnt,
@@ -920,6 +989,9 @@ def _hybrid_fn(
                     roff = jnp.zeros((), _I32)
                     adv_ok = dead == 0
                     dead_n = jnp.zeros((), jnp.bool_)
+                    if with_log:
+                        wlogv = jnp.zeros((1, LANES), _I32)
+                        wlogm = jnp.zeros((1, LANES), _I32)
                     for _phase in range(2):
                         remaining = vend - cpos
                         wlim = jnp.clip(
@@ -942,6 +1014,26 @@ def _hybrid_fn(
                         dead_s = adv_ok & (one_at >= blim) & (
                             blim < wlim
                         )
+                        if with_log:
+                            # run entries each consume one 0 bit
+                            # (action 2/5 by type); the fired or
+                            # budget-cut entry at lane cpos+run gets
+                            # its row too
+                            extra = (hit | dead_s).astype(_I32)
+                            sel = (lanes >= cpos) & (
+                                lanes < cpos + run + extra
+                            )
+                            actv = jnp.where(
+                                (erow & 1) == 1, 2, 5
+                            ) << 24
+                            pv = (erow >> 1) | actv | ((n + 1) << 27)
+                            sh = (roff - cpos) % LANES
+                            wlogv = wlogv | pltpu.roll(
+                                jnp.where(sel, pv, 0), sh, 1
+                            )
+                            wlogm = wlogm | pltpu.roll(
+                                sel.astype(_I32), sh, 1
+                            )
                         roff = roff + run
                         cpos_f = cpos + run
                         cpos = cpos_f + hit.astype(_I32)
@@ -969,10 +1061,28 @@ def _hybrid_fn(
                             okt = uset & ((scur + koff) < nbits)
                             bt = wbit64(roff + koff) & okt
                             dt = uset & ~okt
+                            if with_log:
+                                q1 = roff + koff
+                                m1c = (lanes == q1) & uset
+                                wlogv = wlogv | jnp.where(
+                                    m1c,
+                                    ch | (3 << 24) | ((n + 1) << 27),
+                                    0,
+                                )
+                                wlogm = wlogm | m1c.astype(_I32)
                             koff = koff + okt.astype(_I32)
                             oks = bt & ((scur + koff) < nbits) & ~dt
                             bs = wbit64(roff + koff) & oks
                             ds = bt & ~oks & ~dt
+                            if with_log:
+                                q2 = roff + koff
+                                m2c = (lanes == q2) & bt
+                                wlogv = wlogv | jnp.where(
+                                    m2c,
+                                    ch | (4 << 24) | ((n + 1) << 27),
+                                    0,
+                                )
+                                wlogm = wlogm | m2c.astype(_I32)
                             koff = koff + oks.astype(_I32)
                             commit = bt & oks
                             lsp_sl.append(
@@ -1024,6 +1134,8 @@ def _hybrid_fn(
                         LIS_CAP,
                     )
                     lis_t = lis_t + lsum
+                    if with_log:
+                        place_log(wlogv, wlogm, cur)
                     cur = cur + roff
                     dead = dead | dead_n.astype(_I32)
                     return (cur, cpos, lip_add, lis_t, lsp_cnt, dead,
@@ -1059,6 +1171,12 @@ def _hybrid_fn(
                 bvec = bits128(cur)
                 off = cur + prefix(valid.astype(_I32))
                 ok = valid & (off < nbits)
+                if with_log:
+                    nrow = lspn_ref[pl.ds(r, 1), :]
+                    place_log(
+                        (nrow & 0xFFFFFF) | (6 << 24) | ((n + 1) << 27),
+                        valid & (off <= nbits), cur,
+                    )
                 nbit = (1 << n).astype(_I32)
                 newm = jnp.where(
                     bvec == 1, mrow | nbit, mrow & ~nbit
@@ -1118,13 +1236,25 @@ def _hybrid_fn(
             )
         )
 
+    out_shape = [
+        jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((1, 2), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    if with_log:
+        out_shape.append(
+            jax.ShapeDtypeStruct((LOG_ROWS, LANES), jnp.int32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
     call = pl.pallas_call(
         kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((LSP_ROWS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
-        ],
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # words
             pl.BlockSpec(memory_space=pltpu.VMEM),  # geo
@@ -1132,11 +1262,7 @@ def _hybrid_fn(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
             pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
@@ -1156,7 +1282,8 @@ def _hybrid_fn(
         sc = jnp.stack(
             [jnp.asarray(nbits, _I32), jnp.asarray(max_n, _I32)]
         )
-        lspn, lspm, stat = call(words2d, geo2d, lipi2d, lisi2d, sc)
+        outs = call(words2d, geo2d, lipi2d, lisi2d, sc)
+        lspn, lspm, stat = outs[0], outs[1], outs[2]
         cnt = stat[0, 0]
         nodes = (lspn & 0xFFFFFF).reshape(-1)
         sgn = ((lspn >> 24) & 1).reshape(-1)
@@ -1171,6 +1298,8 @@ def _hybrid_fn(
         rec = rec.reshape(c, h, w)
         if out_dtype == "int16":
             rec = rec.astype(jnp.int16)
+        if with_log:
+            return rec, outs[3].reshape(-1)
         return rec
 
     return fn

@@ -194,3 +194,57 @@ def test_interleaved_decoder_odd_ll_routing(rng):
                               interpret=True)
     want = nat.decode(data, mn, 1, 19, 19, 5, 5)
     np.testing.assert_array_equal(got[0], want)
+
+
+def _slices_geom(hw, lvl, ch, rng, scale=500):
+    from spiht_tpu.codec import api
+    from spiht_tpu.settings import SpihtSettings
+
+    slices, ph, pw = api.get_slices_and_h_w(hw, hw, SpihtSettings(), lvl)
+    arr = (rng.standard_normal((ch, ph, pw)) * scale).astype(np.int32)
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    top_slice = [(0, ll_h), (0, ll_w)]
+    other = []
+    for sl in slices[1:]:
+        fs = []
+        for key in ["da", "ad", "dd"]:
+            s = sl[key]
+            fs.append([(s[1].start, s[1].stop), (s[2].start, s[2].stop)])
+        other.append(fs)
+    return arr, ll_h, ll_w, ph, pw, top_slice, other
+
+
+@pytest.mark.parametrize("mb", [1, 37, 2000, 500000])
+def test_pallas_metadata_trace_exact(rng, mb):
+    """The fast-machine event log expands to the reference 8-column
+    trace row for row (incl. truncation and the n_bits+1 layout).
+    Semantics: /root/reference/src/encoder_decoder.rs:616-841."""
+    from spiht_tpu.codec.meta_expand import pallas_decode_with_metadata
+
+    nat = runtime.load()
+    arr, ll_h, ll_w, ph, pw, ts, osl = _slices_geom(64, 3, 2, rng)
+    data, mn = nat.encode(arr, ll_h, ll_w, mb)
+    want_rec, want_meta = nat.decode_with_metadata(
+        data, mn, 2, ph, pw, ll_h, ll_w, ts, osl
+    )
+    got_rec, got_meta = pallas_decode_with_metadata(
+        data, mn, 2, ph, pw, ll_h, ll_w,
+        tuple(map(tuple, ts)),
+        tuple(tuple(tuple(map(tuple, f)) for f in lvl) for lvl in osl),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(got_rec, want_rec)
+    np.testing.assert_array_equal(got_meta, want_meta)
+
+
+def test_pallas_metadata_duplicate_parent_raises(rng):
+    """Odd-LL geometries stay on the sequential machine (shared-rec +
+    non-unique filter/depth derivations)."""
+    from spiht_tpu.codec.meta_expand import pallas_decode_with_metadata
+    from spiht_tpu.codec.pallas_decoder import MachineResourceLimit
+
+    with pytest.raises(MachineResourceLimit):
+        pallas_decode_with_metadata(
+            b"\x00", 3, 1, 19, 19, 5, 5, ((0, 5), (0, 5)), (),
+            interpret=True,
+        )
