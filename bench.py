@@ -218,8 +218,10 @@ def main() -> None:
             )
         for k, v in device.items():
             # batched-lane aggregates measured by device_bench
-            # (mpps_enc_batchB / mpps_dec_batchB)
-            if k.startswith(("mpps_enc_batch", "mpps_dec_batch")):
+            # (mpps_enc_batchB / mpps_dec_batchB, and the interleaved
+            # B-chain machines mpps_enc_ilvB / mpps_dec_ilvB)
+            if k.startswith(("mpps_enc_batch", "mpps_dec_batch",
+                             "mpps_enc_ilv", "mpps_dec_ilv")):
                 result[f"device_{k}{suffix}"] = v
         # fused on-device pipelines (image<->stream as ONE XLA program)
         for k in (f"ms_enc_pipeline_{BPP}bpp", f"ms_pipeline_{BPP}bpp"):

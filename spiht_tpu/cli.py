@@ -269,6 +269,7 @@ def cmd_progressive(args) -> int:
         )
     total_bytes = len(er.encoded_bytes)
     frames = []
+    coeff_frames = []
     for f in range(1, args.frames + 1):
         nb = max(1, round(total_bytes * f / args.frames))
         partial = er.__class__(
@@ -281,6 +282,19 @@ def cmd_progressive(args) -> int:
                 np.moveaxis(arr, 0, -1) if c > 1 else arr[0]
             )
         )
+        if getattr(args, "coeff_out", None):
+            # raw coefficient-array visualization, the reference's
+            # second lane (make_gif.py:58-65): |coeffs| * 75 clipped
+            dec = codec.api.decode_rec_array(partial, settings)
+            vis = np.clip(
+                np.abs(np.asarray(dec["rec_arr"], np.float64)) * 75.0,
+                0, 255,
+            ).astype(np.uint8)
+            coeff_frames.append(
+                Image.fromarray(
+                    np.moveaxis(vis, 0, -1) if c > 1 else vis[0]
+                )
+            )
         print(f"frame {f}/{args.frames}: {nb} bytes "
               f"({nb*8/(h*w):.4f} bpp)", file=sys.stderr)
     frames[0].save(
@@ -291,6 +305,15 @@ def cmd_progressive(args) -> int:
         loop=0,
     )
     print(f"wrote {args.out} ({len(frames)} frames)")
+    if coeff_frames:
+        coeff_frames[0].save(
+            args.coeff_out,
+            save_all=True,
+            append_images=coeff_frames[1:],
+            duration=args.duration,
+            loop=0,
+        )
+        print(f"wrote {args.coeff_out} (raw coefficient view)")
     return 0
 
 
@@ -332,6 +355,11 @@ def main(argv=None) -> int:
     p2.add_argument("out")
     p2.add_argument("--frames", type=int, default=24)
     p2.add_argument("--duration", type=int, default=120, help="ms per frame")
+    p2.add_argument(
+        "--coeff-out", default=None,
+        help="also write the raw coefficient-array visualization GIF "
+             "(|coeffs|*75, the reference make_gif.py's second lane)",
+    )
     _add_codec_args(p2)
     p2.set_defaults(fn=cmd_progressive)
 

@@ -11,6 +11,7 @@ compilation cache makes reruns take seconds).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -263,6 +264,20 @@ def main() -> None:
             )
         except Exception as exc:
             log(f"batch encode lane failed: {type(exc).__name__}: {exc}")
+    # ---- interleaved B-chain machines (production batched lanes):
+    # one kernel steps B machines per iteration (BASELINE.md round 3).
+    # Default B=8 on TPU; SPIHT_TPU_BENCH_ILV=0 disables.
+    if on_tpu and os.environ.get("SPIHT_TPU_BENCH_ILV", "8") not in (
+        "0", ""
+    ):
+        try:
+            _ilv_lane(
+                int(os.environ.get("SPIHT_TPU_BENCH_ILV", "8")), bpp,
+                h_in, w_in, im, settings, level, nat, c, h, w, llh,
+                llw, out,
+            )
+        except Exception as exc:
+            log(f"interleaved lane failed: {type(exc).__name__}: {exc}")
     # only the headline config refreshes the bench.py fallback cache
     if (h_in, w_in, level) == (512, 512, 6):
         _persist(out)
@@ -392,6 +407,125 @@ def _encode_batch_lane(batch, bpp, h_in, w_in, im, settings, level, nat,
     out["ebatch"] = batch
     out[f"mpps_enc_batch{batch}"] = round(mpps, 3)
     out[f"exact_enc_batch{batch}"] = exact
+
+
+def _ilv_lane(B, bpp, h_in, w_in, im, settings, level, nat, c, h, w,
+              llh, llw, out):
+    """Interleaved B-chain encode + decode aggregates, every lane
+    bit-exact vs native (pallas_{en,de}coder._interleaved_fn)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spiht_tpu import transform
+    from spiht_tpu.codec import pallas_decoder as pd
+    from spiht_tpu.codec import pallas_encoder as pe
+    from spiht_tpu.codec.device_decoder import _words_of
+    from spiht_tpu.codec.oracle import compute_max_n
+
+    mb = int(round(bpp * h_in * w_in))
+    arrs, wants, mns = [], [], []
+    for b in range(B):
+        im_b = np.clip(
+            im + 0.03 * np.random.default_rng(b).standard_normal(im.shape),
+            0, 1,
+        )
+        arr_b, _, _ = transform.forward_numpy(im_b, settings, level)
+        arr_b = arr_b.astype(np.int32)
+        arrs.append(arr_b)
+        wants.append(nat.encode(arr_b, llh, llw, mb))
+        mns.append(compute_max_n(arr_b))
+
+    # ---- encode ----
+    cap_words = pe._cap_words_for(c, h, w, mb)
+    if pe.interleaved_fits(B, c, h, w, llh, llw, cap_words):
+        efn = pe._interleaved_fn(B, c, h, w, llh, llw, cap_words)
+        ja = jax.device_put(jnp.asarray(np.stack(arrs)))
+        jmn = jax.device_put(jnp.asarray(np.array(mns, np.int32)))
+        jmb = jax.device_put(jnp.full(B, mb, jnp.int32))
+        t0 = time.perf_counter()
+        words, totals, ovf = efn(ja, jmn, jmb)
+        words_h = np.asarray(words)
+        first = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            words, totals, ovf = efn(ja, jmn, jmb)
+            words_h = np.asarray(words)
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        totals_h = np.asarray(totals)
+        exact = not bool(np.asarray(ovf).any())
+        for b, (want, wmn) in enumerate(wants):
+            t = int(totals_h[b])
+            got = words_h[b].view(np.uint8)[: (t + 7) // 8].tobytes()
+            exact = exact and wmn == mns[b] and got == want
+        mpps = B * c * h * w / 1e6 / med
+        log(f"encode ilv B={B} @{bpp}bpp: first {first:.1f}s, median "
+            f"{med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate, "
+            f"exact={exact}")
+        out[f"mpps_enc_ilv{B}"] = round(mpps, 3)
+        out[f"exact_enc_ilv{B}"] = exact
+
+    # ---- decode ----
+    datas = [wants[b][0] for b in range(B)]
+    cap_words = max(max((len(d) * 8 + 31) // 32 for d in datas), 1)
+    if pd.interleaved_fits(B, c, h, w, llh, llw, cap_words):
+        od = "int16" if max(mns) <= 13 else "int32"
+        dfn = pd._interleaved_fn(B, c, h, w, llh, llw, cap_words,
+                                 False, od)
+        jw = jax.device_put(jnp.asarray(
+            np.stack([_words_of(d, cap_words) for d in datas])
+        ))
+        jn = jax.device_put(jnp.asarray(
+            np.array([len(d) * 8 for d in datas], np.int32)
+        ))
+        jm = jax.device_put(jnp.asarray(np.array(mns, np.int32)))
+        t0 = time.perf_counter()
+        rec = np.asarray(dfn(jw, jn, jm))
+        first = time.perf_counter() - t0
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            rec = np.asarray(dfn(jw, jn, jm))
+            ts.append(time.perf_counter() - t1)
+        med = sorted(ts)[1]
+        exact = all(
+            np.array_equal(
+                rec[b].astype(np.int32),
+                nat.decode(datas[b], mns[b], c, h, w, llh, llw),
+            )
+            for b in range(B)
+        )
+        mpps = B * c * h * w / 1e6 / med
+        log(f"decode ilv B={B} @{bpp}bpp: first {first:.1f}s, median "
+            f"{med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate "
+            f"(materialized), exact={exact}")
+        out[f"mpps_dec_ilv{B}"] = round(mpps, 3)
+        out[f"exact_dec_ilv{B}"] = exact
+
+        # kernel-side rate (device checksum, nothing ships): the
+        # materialized figure is d2h-bound on the ~20 MB/s tunnel
+        @jax.jit
+        def ksum(wv, nv, mv):
+            return jnp.sum(
+                dfn.__wrapped__(wv, nv, mv).astype(jnp.int32)
+            )
+
+        np.asarray(ksum(jw, jn, jm))
+        ts = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            np.asarray(ksum(jw, jn, jm))
+            ts.append(time.perf_counter() - t1)
+        kmed = sorted(ts)[1]
+        out[f"mpps_dec_ilv{B}_kernel"] = round(
+            B * c * h * w / 1e6 / kmed, 3
+        )
+        log(f"decode ilv B={B} kernel-only: median {kmed*1e3:.0f} ms "
+            f"= {out[f'mpps_dec_ilv{B}_kernel']:.2f} MP/s")
 
 
 def _persist(out):
