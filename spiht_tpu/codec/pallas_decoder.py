@@ -73,18 +73,27 @@ _VMEM_BUDGET_BYTES = 128 << 20
 def machine_vmem_bytes(
     c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
 ) -> int:
-    """VMEM bytes the decode machines request for this geometry — the
-    max over the seq and hybrid layouts (conservative union of both
-    builders' formulas)."""
+    """VMEM bytes the decode machine that will actually run requests:
+    duplicate-parent geometries use the sequential machine (rec-array
+    in VMEM, full queue capacities); everything else uses the hybrid
+    machine, whose queues are budget-narrowed by cap_words (see
+    ``_narrowed_caps``) — which is what admits 2048^2-class geometries
+    at bounded bit budgets."""
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
-    lip_rows = _rows(g["ent_bound"] + 1)
-    lis_rows = _rows(2 * g["lis_bound"] + 1)
-    lsp_rows = _rows(g["ent_bound"] + 1)
     li_rows = _rows(max(int(g["lip_init"].size), 1))
     ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    if _has_duplicate_parents(h, w, ll_h, ll_w):
+        lip_rows = _rows(g["ent_bound"] + 1)
+        lis_rows = _rows(2 * g["lis_bound"] + 1)
+        lsp_rows = _rows(g["ent_bound"] + 1)
+        return 4 * LANES * (
+            _rows(N) + lip_rows + lis_rows + 2 * lsp_rows + _rows(N)
+            + _rows(cap_words) + li_rows + ls_rows + 256
+        )
+    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
     return 4 * LANES * (
-        _rows(N) + lip_rows + lis_rows + 2 * lsp_rows + _rows(N)
+        _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap) + _rows(N)
         + _rows(cap_words) + li_rows + ls_rows + 256
     )
 
@@ -557,9 +566,10 @@ def _hybrid_fn(
         raise ValueError("geometry too large for packed queue entries")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
-    LIP_CAP = g["ent_bound"] + 1
-    LIS_CAP = 2 * g["lis_bound"] + 1
-    LSP_CAP = g["ent_bound"] + 1
+    # budget-narrowed capacities (provably safe for any stream of
+    # <= cap_words*32 bits, see _narrowed_caps) — the hybrid machine
+    # admits 2048^2-class geometries at bounded bit budgets this way
+    LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
     LIP_ROWS = _rows(LIP_CAP)
     LIS_ROWS = _rows(LIS_CAP)
     LSP_ROWS = _rows(LSP_CAP)

@@ -81,17 +81,18 @@ def machine_vmem_bytes(
     c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
 ) -> int:
     """Exact VMEM bytes the hybrid machine requests for this geometry
-    (mirrors ``_hybrid_fn``'s table/queue layout; the seq machine needs
-    strictly less)."""
+    (mirrors ``_hybrid_fn``'s table/queue layout with budget-narrowed
+    queue capacities — see ``_narrowed_caps``; the seq machine needs
+    strictly less except for its full-capacity queues, and is only
+    selected explicitly)."""
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
-    lip_rows = _rows(g["ent_bound"] + 1)
-    lis_rows = _rows(2 * g["lis_bound"] + 1)
-    lsp_rows = _rows(g["ent_bound"] + 1)
+    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
     li_rows = _rows(max(int(g["lip_init"].size), 1))
     ls_rows = _rows(max(int(g["lis_init"].size), 1))
     return 4 * LANES * (
-        3 * _rows(N) + lip_rows + 2 * lis_rows + lsp_rows
+        3 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        + _rows(lsp_cap)
         + _rows(cap_words) + li_rows + 2 * ls_rows + 256
     )
 
@@ -511,9 +512,9 @@ def _hybrid_fn(
         raise ValueError("geometry too large for packed queue entries")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
-    LIP_CAP = g["ent_bound"] + 1
-    LIS_CAP = 2 * g["lis_bound"] + 1
-    LSP_CAP = g["ent_bound"] + 1
+    # budget-narrowed capacities (safe for any <= cap_words*32-bit
+    # stream, see _narrowed_caps)
+    LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
     LIP_ROWS = _rows(LIP_CAP)
     LIS_ROWS = _rows(LIS_CAP)
     LSP_ROWS = _rows(LSP_CAP)
@@ -540,10 +541,7 @@ def _hybrid_fn(
     lip0_j = jnp.asarray(lip0_np.astype(np.int32))
     lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
 
-    vmem_bytes = 4 * LANES * (
-        3 * T_ROWS + LIP_ROWS + 2 * LIS_ROWS + LSP_ROWS + W_ROWS
-        + LI_ROWS + 2 * LS_ROWS + 256
-    )
+    vmem_bytes = machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
 
     # carry layout (all i32 scalars):
     # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
