@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from .device_decoder import _dec_geom, _words_of
+from .tree_bounds import QueueBounds, narrowed_caps, queue_bounds
 
 __all__ = [
     "pallas_decode_fn", "pallas_decode",
@@ -78,20 +79,22 @@ def machine_vmem_bytes(
     in VMEM, full queue capacities); everything else uses the hybrid
     machine, whose queues are budget-narrowed by cap_words (see
     ``_narrowed_caps``) — which is what admits 2048^2-class geometries
-    at bounded bit budgets."""
-    g = _dec_geom(c, h, w, ll_h, ll_w)
+    at bounded bit budgets.  Closed-form — no geometry tables are
+    materialized (tree_bounds.queue_bounds), so routing answers in
+    microseconds at any size."""
+    qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
-    li_rows = _rows(max(int(g["lip_init"].size), 1))
-    ls_rows = _rows(max(int(g["lis_init"].size), 1))
-    if _has_duplicate_parents(h, w, ll_h, ll_w):
-        lip_rows = _rows(g["ent_bound"] + 1)
-        lis_rows = _rows(2 * g["lis_bound"] + 1)
-        lsp_rows = _rows(g["ent_bound"] + 1)
+    li_rows = _rows(max(qb.n_lip0, 1))
+    ls_rows = _rows(max(qb.n_lis0, 1))
+    if qb.has_duplicate_parents:
+        lip_rows = _rows(qb.ent_bound + 1)
+        lis_rows = _rows(2 * qb.lis_bound + 1)
+        lsp_rows = _rows(qb.ent_bound + 1)
         return 4 * LANES * (
             _rows(N) + lip_rows + lis_rows + 2 * lsp_rows + _rows(N)
             + _rows(cap_words) + li_rows + ls_rows + 256
         )
-    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
+    lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
     return 4 * LANES * (
         _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap) + _rows(N)
         + _rows(cap_words) + li_rows + ls_rows + 256
@@ -122,14 +125,9 @@ def _has_duplicate_parents(h: int, w: int, ll_h: int, ll_w: int) -> bool:
     have several parents, several LSP instances, and shared-rec
     refinement semantics (device_decoder docstring). The deferred-rec
     hybrid machine requires unique commits, so those geometries stay
-    on the sequential machine."""
-    g = _dec_geom(1, h, w, ll_h, ll_w)
-    hc = np.asarray(g["has_child"], bool)
-    c0 = np.asarray(g["child0"], np.int64)[hc]
-    counts = np.zeros(h * w, np.int64)
-    for off in (0, 1, w, w + 1):
-        np.add.at(counts, c0 + off, 1)
-    return bool(counts.max(initial=0) > 1)
+    on the sequential machine.  Closed-form (tree_bounds; property-
+    tested against the table-built coverage counts)."""
+    return queue_bounds(1, h, w, ll_h, ll_w).has_duplicate_parents
 
 
 def pallas_decode_fn(
@@ -1321,25 +1319,27 @@ def _narrowed_caps(g, cap_words: int):
     pallas_encoder._narrowed_caps (decode consumes the bits the encoder
     emitted: LIP insert <-> one consumed child sig bit, LSP commit <->
     two consumed bits, LIS appends <= consumed bits)."""
-    cap_bits = cap_words * 32
-    n_lip0 = max(int(g["lip_init"].size), 1)
-    n_lis0 = max(int(g["lis_init"].size), 1)
-    lip_cap = min(g["ent_bound"] + 1, n_lip0 + cap_bits + 2)
-    lsp_cap = min(g["ent_bound"] + 1, cap_bits // 2 + 2)
-    lis_cap = min(2 * g["lis_bound"] + 1, n_lis0 + cap_bits + 8)
-    return lip_cap, lis_cap, lsp_cap
+    return narrowed_caps(
+        QueueBounds(
+            n_lip0=int(g["lip_init"].size), n_lis0=int(g["lis_init"].size),
+            ent_bound=int(g["ent_bound"]), lis_bound=int(g["lis_bound"]),
+            dup=False,
+        ),
+        cap_words,
+    )
 
 
 def interleaved_vmem_bytes(
     B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
 ) -> int:
     """VMEM bytes of the B-chain interleaved decode machine (geometry
-    table, LIP/LIS init entries shared; queues budget-narrowed)."""
-    g = _dec_geom(c, h, w, ll_h, ll_w)
+    table, LIP/LIS init entries shared; queues budget-narrowed).
+    Closed-form, like ``machine_vmem_bytes``."""
+    qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
-    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
-    li_rows = _rows(max(int(g["lip_init"].size), 1))
-    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
+    li_rows = _rows(max(qb.n_lip0, 1))
+    ls_rows = _rows(max(qb.n_lis0, 1))
     per_chain = (
         _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap)
         + _rows(cap_words)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .device_decoder import _dec_geom
 from .maps import significance_maps
+from .tree_bounds import QueueBounds, narrowed_caps, queue_bounds
 
 __all__ = [
     "pallas_encode_fn", "pallas_encode", "EncCapacityOverflow",
@@ -84,12 +85,15 @@ def machine_vmem_bytes(
     (mirrors ``_hybrid_fn``'s table/queue layout with budget-narrowed
     queue capacities — see ``_narrowed_caps``; the seq machine needs
     strictly less except for its full-capacity queues, and is only
-    selected explicitly)."""
-    g = _dec_geom(c, h, w, ll_h, ll_w)
+    selected explicitly).  Closed-form — no geometry tables are
+    materialized, so routing answers in microseconds at any size
+    (tree_bounds.queue_bounds is property-tested equal to the
+    ``_dec_geom`` table DP)."""
+    qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
-    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
-    li_rows = _rows(max(int(g["lip_init"].size), 1))
-    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
+    li_rows = _rows(max(qb.n_lip0, 1))
+    ls_rows = _rows(max(qb.n_lis0, 1))
     return 4 * LANES * (
         3 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap)
@@ -1058,13 +1062,14 @@ def _narrowed_caps(g, cap_words: int):
     queues, so narrowing preserves bit-exactness while shrinking the
     dominant VMEM arrays by ~3x at 1 bpp budgets.
     """
-    cap_bits = cap_words * 32
-    n_lip0 = max(int(g["lip_init"].size), 1)
-    n_lis0 = max(int(g["lis_init"].size), 1)
-    lip_cap = min(g["ent_bound"] + 1, n_lip0 + cap_bits + 2)
-    lsp_cap = min(g["ent_bound"] + 1, cap_bits // 2 + 2)
-    lis_cap = min(2 * g["lis_bound"] + 1, n_lis0 + cap_bits + 8)
-    return lip_cap, lis_cap, lsp_cap
+    return narrowed_caps(
+        QueueBounds(
+            n_lip0=int(g["lip_init"].size), n_lis0=int(g["lis_init"].size),
+            ent_bound=int(g["ent_bound"]), lis_bound=int(g["lis_bound"]),
+            dup=False,
+        ),
+        cap_words,
+    )
 
 
 def interleaved_vmem_bytes(
@@ -1072,12 +1077,13 @@ def interleaved_vmem_bytes(
 ) -> int:
     """Exact VMEM bytes the B-chain interleaved machine requests
     (per-chain tables/queues with budget-narrowed caps; the child0
-    geometry table and LIS init entries are shared across chains)."""
-    g = _dec_geom(c, h, w, ll_h, ll_w)
+    geometry table and LIS init entries are shared across chains).
+    Closed-form, like ``machine_vmem_bytes``."""
+    qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
-    lip_cap, lis_cap, lsp_cap = _narrowed_caps(g, cap_words)
-    li_rows = _rows(max(int(g["lip_init"].size), 1))
-    ls_rows = _rows(max(int(g["lis_init"].size), 1))
+    lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
+    li_rows = _rows(max(qb.n_lip0, 1))
+    ls_rows = _rows(max(qb.n_lis0, 1))
     per_chain = (
         2 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap) + _rows(cap_words) + li_rows + ls_rows
