@@ -184,15 +184,32 @@ def main() -> None:
             log(f"device-encoder lane failed: {type(e).__name__}: {e}")
         if not device:
             try:
-                cache = os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    ".bench_device_cache.json",
-                )
+                here = os.path.dirname(os.path.abspath(__file__))
+                cache = os.path.join(here, ".bench_device_cache.json")
                 with open(cache) as f:
                     device = json.load(f)
                 device["cached"] = True
+                # staleness: commits between the cache's commit and HEAD
+                # (0 = the cache was refreshed at the snapshot commit)
+                try:
+                    dist = subprocess.run(
+                        ["git", "rev-list", "--count",
+                         f"{device.get('commit')}..HEAD"],
+                        cwd=here, capture_output=True, text=True,
+                        timeout=10,
+                    )
+                    device["commit_distance"] = int(dist.stdout.strip())
+                except Exception:
+                    device["commit_distance"] = -1  # unknown
                 log(f"device lane (cached, commit "
                     f"{device.get('commit')}): {device}")
+                if device["commit_distance"] != 0:
+                    log(
+                        "WARNING: device-lane cache is STALE — measured "
+                        f"{device['commit_distance']} commit(s) behind "
+                        "HEAD. Refresh with: python -m "
+                        "spiht_tpu.codec.device_bench 512x512 6 1.0"
+                    )
             except Exception:
                 pass
 
@@ -231,6 +248,9 @@ def main() -> None:
         result["device_encode_backend"] = device.get("backend")
         if suffix:
             result["device_encode_commit"] = device.get("commit")
+            result["device_cache_commit_distance"] = device.get(
+                "commit_distance"
+            )
     print(json.dumps(result))
 
 

@@ -39,7 +39,10 @@ import jax.numpy as jnp
 
 from .device_decoder import _dec_geom, _rect_table, _words_of
 
-__all__ = ["pallas_decode_with_metadata", "meta_log_vmem_bytes"]
+__all__ = [
+    "pallas_decode_with_metadata", "meta_log_vmem_bytes",
+    "decode_event_log", "expand_event_log",
+]
 
 _I32 = jnp.int32
 
@@ -193,6 +196,84 @@ def _expand_fn(c, h, w, ll_h, ll_w, level, rect_key, meta_rows,
     return expand
 
 
+def decode_event_log(
+    data: bytes,
+    max_n: int,
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    interpret: bool = False,
+):
+    """ON-DEVICE decode + COMPACT event log — the ML-consumption lane.
+
+    Returns ``(rec, log, words, nbits)`` where ``rec`` (c,h,w) i32 and
+    ``log`` ((nbits+pad,) i32) are jax DEVICE arrays (nothing ships to
+    host).  ``log[t]`` describes the stream bit at offset ``t``:
+    ``node | action << 24 | (n+1) << 27`` (0 = no event; action ids are
+    the reference's 0-6, /root/reference/src/encoder_decoder.rs:616-630;
+    the consumed bit value itself is ``words[t>>5] >> (t&31) & 1``).
+
+    This is 32x smaller than the expanded 8-column trace (one i32 per
+    bit vs 8), so consumers on the far side of a slow host link ingest
+    it directly; ``expand_event_log`` reconstructs the full reference
+    trace on device when the 8-column layout is needed.  See
+    examples/metadata_ml_consumer.py.
+    """
+    from .pallas_decoder import (
+        MachineResourceLimit, _has_duplicate_parents, _hybrid_fn,
+        machine_vmem_bytes, _VMEM_BUDGET_BYTES,
+    )
+
+    nbits = len(data) * 8
+    cap_words = max((nbits + 31) // 32, 1)
+    if _has_duplicate_parents(h, w, ll_h, ll_w):
+        raise MachineResourceLimit("duplicate-parent geometry")
+    if c * h * w >= 1 << 24 or (
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+        + meta_log_vmem_bytes(cap_words)
+        > _VMEM_BUDGET_BYTES
+    ):
+        raise MachineResourceLimit(f"{c}x{h}x{w} + {nbits}-bit log")
+    fn = _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
+                    "int32", True)
+    words = jnp.asarray(_words_of(data, cap_words))
+    rec, log = fn(words, nbits, int(max_n))
+    return rec, log, words, nbits
+
+
+def expand_event_log(
+    log,
+    words,
+    nbits: int,
+    c: int,
+    h: int,
+    w: int,
+    ll_h: int,
+    ll_w: int,
+    top_slice,
+    other_slices,
+):
+    """Compact event log -> the reference (nbits+1, 8) i32 trace, jitted
+    (stays on device when its inputs are device arrays).  Row layout:
+    ``[action, local_h, local_w, channel, filter, depth, n, value]``
+    (/root/reference/src/encoder_decoder.rs:616-630)."""
+    level = len(other_slices)
+    rect_key = tuple(
+        map(
+            tuple,
+            _rect_table(
+                level, ll_h, ll_w, (top_slice, other_slices)
+            ).reshape(-1, 4),
+        )
+    )
+    cap_words = max((nbits + 31) // 32, 1)
+    expand = _expand_fn(c, h, w, ll_h, ll_w, level, rect_key,
+                        nbits + 1, cap_words)
+    return expand(log, words, nbits)
+
+
 def pallas_decode_with_metadata(
     data: bytes,
     max_n: int,
@@ -209,35 +290,10 @@ def pallas_decode_with_metadata(
     byte-identical to device_decoder.decode_device_with_metadata /
     the native kernel. Raises MachineResourceLimit when the geometry
     needs the sequential machine (duplicate parents) or exceeds VMEM."""
-    from .pallas_decoder import (
-        MachineResourceLimit, _has_duplicate_parents, _hybrid_fn,
-        machine_vmem_bytes, _VMEM_BUDGET_BYTES,
+    rec, log, words, nbits = decode_event_log(
+        data, max_n, c, h, w, ll_h, ll_w, interpret
     )
-
-    nbits = len(data) * 8
-    cap_words = max((nbits + 31) // 32, 1)
-    if _has_duplicate_parents(h, w, ll_h, ll_w):
-        raise MachineResourceLimit("duplicate-parent geometry")
-    if c * h * w >= 1 << 24 or (
-        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
-        + meta_log_vmem_bytes(cap_words)
-        > _VMEM_BUDGET_BYTES
-    ):
-        raise MachineResourceLimit(f"{c}x{h}x{w} + {nbits}-bit log")
-    level = len(other_slices)
-    rect_key = tuple(
-        map(
-            tuple,
-            _rect_table(
-                level, ll_h, ll_w, (top_slice, other_slices)
-            ).reshape(-1, 4),
-        )
+    meta = expand_event_log(
+        log, words, nbits, c, h, w, ll_h, ll_w, top_slice, other_slices
     )
-    fn = _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
-                    "int32", True)
-    words = jnp.asarray(_words_of(data, cap_words))
-    rec, log = fn(words, nbits, int(max_n))
-    expand = _expand_fn(c, h, w, ll_h, ll_w, level, rect_key,
-                        nbits + 1, cap_words)
-    meta = expand(log, words, nbits)
     return np.asarray(rec), np.asarray(meta)

@@ -11,14 +11,40 @@ import pytest
 import spiht_tpu
 from spiht_tpu import interop
 
-torch = pytest.importorskip("torch")
-
-
 def _image(c=3, h=40, w=48, seed=0):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w] / 32.0
     im = np.stack([0.5 + 0.3 * np.sin(xx + c_) * np.cos(yy) for c_ in range(c)])
     return np.clip(im + 0.05 * rng.standard_normal(im.shape), 0, 1)
+
+
+
+def test_jax_dlpack_round_trip_no_torch():
+    """The DLPack bridge half that needs no torch at all: a jax array
+    exported and re-imported via the dlpack protocol is value-identical
+    and (on CPU) shares the buffer with its numpy view."""
+    import jax.numpy as jnp
+    import jax
+
+    a = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4) * 1.5
+    b = jax.dlpack.from_dlpack(a)
+    assert np.array_equal(np.asarray(b), np.asarray(a))
+    # numpy consumes the same capsule protocol (zero-copy on CPU)
+    c = np.from_dlpack(a)
+    assert np.array_equal(c, np.asarray(a))
+
+
+def test_as_numpy_image_passthrough_no_torch():
+    im = _image()
+    out = interop.as_numpy_image(im)
+    assert out is im or np.shares_memory(out, im)
+    import jax.numpy as jnp
+
+    j = jnp.asarray(im)
+    assert np.array_equal(interop.as_numpy_image(j), im)
+
+
+torch = pytest.importorskip("torch")
 
 
 def test_encode_image_accepts_torch_tensor():

@@ -248,3 +248,41 @@ def test_pallas_metadata_duplicate_parent_raises(rng):
             b"\x00", 3, 1, 19, 19, 5, 5, ((0, 5), (0, 5)), (),
             interpret=True,
         )
+
+
+def test_event_log_public_api(rng):
+    """decode_event_log + expand_event_log: the compact on-device lane
+    (one i32/bit) reconstructs the reference trace exactly, and the log
+    format itself is stable: node | action<<24 | (n+1)<<27 at the bit's
+    stream offset."""
+    from spiht_tpu.codec.meta_expand import (
+        decode_event_log, expand_event_log,
+    )
+
+    nat = runtime.load()
+    arr, ll_h, ll_w, ph, pw, ts, osl = _slices_geom(64, 3, 2, rng)
+    data, mn = nat.encode(arr, ll_h, ll_w, 6000)
+    want_rec, want_meta = nat.decode_with_metadata(
+        data, mn, 2, ph, pw, ll_h, ll_w, ts, osl
+    )
+    rec, log, words, nbits = decode_event_log(
+        data, mn, 2, ph, pw, ll_h, ll_w, interpret=True
+    )
+    assert nbits == len(data) * 8
+    # the compact log is 1 i32 per bit slot (vs 8 per expanded row)
+    assert log.nbytes <= (nbits + 256) * 4  # 1 i32/bit + row padding
+    meta = expand_event_log(
+        np.asarray(log), np.asarray(words), nbits, 2, ph, pw,
+        ll_h, ll_w,
+        tuple(map(tuple, ts)),
+        tuple(tuple(tuple(map(tuple, f)) for f in lvl) for lvl in osl),
+    )
+    np.testing.assert_array_equal(np.asarray(rec), want_rec)
+    np.testing.assert_array_equal(np.asarray(meta), want_meta)
+    # format pin: re-derive the expanded action column from the raw log
+    lg = np.asarray(log)[:nbits]
+    written = lg != 0
+    act = (lg >> 24) & 7
+    np.testing.assert_array_equal(
+        act[written], np.asarray(want_meta)[:nbits][written][:, 0]
+    )
