@@ -88,35 +88,15 @@ def _dec_geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
         _F_DD,
         np.where((ii % 2 == 0) & (jj % 2 != 0), _F_AD, _F_DA),
     )
-    # --- exact queue-capacity bounds under duplicate parents ----------
-    # With odd LL dims the parity offspring map overlaps: a cell can
-    # have up to 4 parents, and instance counts compound down the tree
-    # (a duplicated parent's whole subtree is traversed once per
-    # instance). inst[x] = number of LIS A-instances of x over the whole
-    # run; arrivals[x] = total child-test events on x = sum of parents'
-    # inst. Edges strictly increase i+j, so one diagonal sweep is a
-    # topological order. Dyadic geometries give inst == 1 everywhere and
-    # the bounds reduce to the classic N / 2N.
-    inst = np.zeros((h, w), np.int64)
-    inst[:ll_h, :ll_w] = ~even[:ll_h, :ll_w]
-    arrivals = np.zeros((h, w), np.int64)
-    diag = (ii + jj).astype(np.int64)
-    for d in range(int(diag.max()) + 1):
-        m = diag == d
-        upd = m & ~in_ll
-        inst[upd] = arrivals[upd]
-        pm = m & has_child & (inst > 0)
-        if not pm.any():
-            continue
-        src = inst[pm]
-        ti = oi[pm].astype(np.int64)
-        tj = oj[pm].astype(np.int64)
-        for di in (0, 1):
-            for dj in (0, 1):
-                np.add.at(arrivals, (ti + di, tj + dj), src)
-    ent_bound = int(c * (ll_h * ll_w + arrivals.sum()))
-    lis_bound = int(c * ((ll_h * ll_w - len(range(0, ll_h, 2)) *
-                          len(range(0, ll_w, 2))) + arrivals.sum()))
+    # exact queue-capacity bounds under duplicate parents — closed form
+    # (tree_bounds.queue_bounds, property-tested equal to the diagonal-
+    # sweep table DP `_bound_dp` below; the DP took >100 s at 2048^2,
+    # the closed form is O(ll*levels))
+    from .tree_bounds import queue_bounds
+
+    qb = queue_bounds(c, h, w, ll_h, ll_w)
+    ent_bound = qb.ent_bound
+    lis_bound = qb.lis_bound
 
     flat = lambda x: np.broadcast_to(
         x[None], (c, h, w)
@@ -150,6 +130,50 @@ def _dec_geom(c: int, h: int, w: int, ll_h: int, ll_w: int):
         ent_bound=ent_bound,
         lis_bound=lis_bound,
     )
+
+
+def _bound_dp(c: int, h: int, w: int, ll_h: int, ll_w: int):
+    """Diagonal-sweep table DP for (ent_bound, lis_bound) — the ground
+    truth `tree_bounds.queue_bounds` is property-tested against
+    (tests/test_vmem_guard.py).  With odd LL dims the parity offspring
+    map overlaps: a cell can have up to 4 parents, and instance counts
+    compound down the tree (a duplicated parent's whole subtree is
+    traversed once per instance). inst[x] = number of LIS A-instances of
+    x over the whole run; arrivals[x] = total child-test events on x =
+    sum of parents' inst. Edges strictly increase i+j, so one diagonal
+    sweep is a topological order. Dyadic geometries give inst == 1
+    everywhere and the bounds reduce to the classic N / 2N."""
+    ii = np.arange(h)[:, None] * np.ones((1, w), np.int64)
+    jj = np.ones((h, 1), np.int64) * np.arange(w)[None, :]
+    in_ll = (ii < ll_h) & (jj < ll_w)
+    even = (ii % 2 == 0) & (jj % 2 == 0)
+    oi = np.where(in_ll, (ii % 2) * ll_h + (ii // 2) * 2, 2 * ii)
+    oj = np.where(in_ll, (jj % 2) * ll_w + (jj // 2) * 2, 2 * jj)
+    has_child = np.where(
+        in_ll, ~even, (2 * ii + 1 < h) & (2 * jj + 1 < w)
+    )
+    has_child &= (oi + 1 < h) & (oj + 1 < w)
+    inst = np.zeros((h, w), np.int64)
+    inst[:ll_h, :ll_w] = ~even[:ll_h, :ll_w]
+    arrivals = np.zeros((h, w), np.int64)
+    diag = (ii + jj).astype(np.int64)
+    for d in range(int(diag.max()) + 1):
+        m = diag == d
+        upd = m & ~in_ll
+        inst[upd] = arrivals[upd]
+        pm = m & has_child & (inst > 0)
+        if not pm.any():
+            continue
+        src = inst[pm]
+        ti = oi[pm].astype(np.int64)
+        tj = oj[pm].astype(np.int64)
+        for di in (0, 1):
+            for dj in (0, 1):
+                np.add.at(arrivals, (ti + di, tj + dj), src)
+    ent_bound = int(c * (ll_h * ll_w + arrivals.sum()))
+    lis_bound = int(c * ((ll_h * ll_w - len(range(0, ll_h, 2)) *
+                          len(range(0, ll_w, 2))) + arrivals.sum()))
+    return ent_bound, lis_bound
 
 
 def _rect_table(level: int, ll_h: int, ll_w: int, slices) -> np.ndarray:

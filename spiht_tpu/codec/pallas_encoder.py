@@ -42,6 +42,7 @@ LANES = 128
 _I32 = jnp.int32
 # int32 shift constants (python ints promote to i64 under x64 tests)
 _C16 = np.int32(16)
+_C29 = np.int32(29)
 _C31 = np.int32(31)
 
 
@@ -79,36 +80,45 @@ _VMEM_BUDGET_BYTES = 128 << 20
 
 
 def machine_vmem_bytes(
-    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    compact: bool = False,
 ) -> int:
     """Exact VMEM bytes the hybrid machine requests for this geometry
     (mirrors ``_hybrid_fn``'s table/queue layout with budget-narrowed
     queue capacities — see ``_narrowed_caps``; the seq machine needs
     strictly less except for its full-capacity queues, and is only
-    selected explicitly).  Closed-form — no geometry tables are
-    materialized, so routing answers in microseconds at any size
-    (tree_bounds.queue_bounds is property-tested equal to the
-    ``_dec_geom`` table DP)."""
+    selected explicitly).  ``compact`` is the one-combo-table variant
+    (max_n <= 15): 1 N-sized table instead of 3.  Closed-form — no
+    geometry tables are materialized, so routing answers in
+    microseconds at any size (tree_bounds.queue_bounds is
+    property-tested equal to the ``_bound_dp`` table DP)."""
     qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
     lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
     li_rows = _rows(max(qb.n_lip0, 1))
     ls_rows = _rows(max(qb.n_lis0, 1))
+    n_tables = 1 if compact else 3
     return 4 * LANES * (
-        3 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        n_tables * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap)
         + _rows(cap_words) + li_rows + 2 * ls_rows + 256
     )
 
 
 def machine_fits(
-    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    compact: bool = False,
 ) -> bool:
-    """Whether the bit machine's state fits the VMEM budget."""
+    """Whether the bit machine's state fits the VMEM budget.  With
+    ``compact=True``, answers for the one-combo-table machine (only
+    valid when max_n <= 15 and c <= 8 — the CALLER checks max_n, which
+    is a property of the data, not the geometry)."""
     if c * h * w >= 1 << 24:  # packed-entry representation bound
         return False
+    if compact and c > 8:
+        return False
     return (
-        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words, compact)
         <= _VMEM_BUDGET_BYTES
     )
 
@@ -127,13 +137,19 @@ def pallas_encode_fn(
     (words u32[cap_words], total_bits, overflow).
 
     machine: 'hybrid' (vector-block LIP/refinement + run-skipping LIS,
-    the default) or 'seq' (the original one-entry-per-iteration
-    machine); SPIHT_TPU_PALLAS_ENC_MACHINE overrides the default.
+    the default), 'compact' (the hybrid with one combo table and
+    closed-form child indices — ONLY valid for max_n <= 15 data), or
+    'seq' (the original one-entry-per-iteration machine);
+    SPIHT_TPU_PALLAS_ENC_MACHINE overrides the default.
     """
     if machine is None:
         machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
     if machine == "hybrid":
         return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
+    if machine == "compact":
+        return _hybrid_fn(
+            c, h, w, ll_h, ll_w, cap_words, interpret, compact=True
+        )
     return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
 
 
@@ -471,6 +487,7 @@ def _hybrid_fn(
     ll_w: int,
     cap_words: int,
     interpret: bool = False,
+    compact: bool = False,
 ):
     """Hybrid vector/sequential emission machine (the production one).
 
@@ -507,6 +524,20 @@ def _hybrid_fn(
         their zero bits emitted as one run, and only FIRED entries run
         the scalar cascade body.
 
+    COMPACT mode (``compact=True``, requires ``max_n <= 15`` i.e.
+    magnitudes < 2^16, and ``c <= 8``): the three N-sized tables fold
+    into ONE combo word per cell — mag(0:16) | sgn(16) | d+1(17:22) |
+    g+1(22:27) | hc(27) | hg(28) | cix(29:32) — and LIS entries carry
+    the node's FIRST-CHILD index instead of the node (the cascade never
+    needs node identity beyond c0; a child's own c0 is closed-form,
+    ``2*ch - cix*h*w``, because every non-LL node's offspring are dyadic
+    — device_decoder._dec_geom's ``oi=2i``/``oj=2j`` branch — and LL
+    roots get their parity-rule c0 baked into the initial entries).
+    This removes the geo gather entirely and halves the B-fire gathers
+    (one combo read per child serves significance, sign, payload, AND
+    the appended LIS value), cutting state from 3 to 1 N-table so
+    2048^2-class geometries fit VMEM at bounded bit budgets.
+
     Bit-for-bit semantics: /root/reference/src/encoder_decoder.rs:155-303.
     """
     import jax.experimental.pallas as pl
@@ -514,6 +545,8 @@ def _hybrid_fn(
 
     if c * h * w >= 1 << 24:
         raise ValueError("geometry too large for packed queue entries")
+    if compact and c > 8:
+        raise ValueError("compact machine packs cix in 3 bits (c <= 8)")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
     # budget-narrowed capacities (safe for any <= cap_words*32-bit
@@ -529,14 +562,33 @@ def _hybrid_fn(
     hc_np = np.asarray(g["has_child"], bool)
     hg_np = np.asarray(g["hg"], bool)
     child0_np = np.asarray(g["child0"], np.int32)
-    geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
-    hc_flags = jnp.asarray(
-        (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
-    )
+    if compact:
+        geo2d = None
+        cix_np = (
+            np.arange(c, dtype=np.int32)[:, None]
+            .repeat(h * w, axis=1).reshape(-1)
+        )
+        hc_flags = jnp.asarray(
+            (hc_np.astype(np.int32) << 27)
+            | (hg_np.astype(np.int32) << 28)
+            | (cix_np << 29)
+        )
+    else:
+        geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
+        hc_flags = jnp.asarray(
+            (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
+        )
 
     lip0_np = g["lip_init"].astype(np.int64)
     lis_nodes_np = g["lis_init"].astype(np.int64)
-    lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
+    if compact:
+        # entries carry the node's first-child index (LL parity rule
+        # baked in here; non-LL appends compute it closed-form)
+        lis0 = (
+            (child0_np[lis_nodes_np].astype(np.int64) << 1) | 1
+        ).astype(np.int32)
+    else:
+        lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
     n_lip0 = int(lip0_np.size)
     n_lis0 = int(lis0.size)
     LI_ROWS = _rows(max(n_lip0, 1))
@@ -545,14 +597,29 @@ def _hybrid_fn(
     lip0_j = jnp.asarray(lip0_np.astype(np.int32))
     lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
 
-    vmem_bytes = machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+    vmem_bytes = machine_vmem_bytes(
+        c, h, w, ll_h, ll_w, cap_words, compact=compact
+    )
+
+    # LIS value-word field offsets (combo vs t1 layouts)
+    DF_SH, GF_SH, HC_SH, HG_SH = (
+        (17, 22, 27, 28) if compact else (5, 10, 16, 17)
+    )
+    HW = h * w
 
     # carry layout (all i32 scalars):
     # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
-    def kernel(t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
-               sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
-               lsp_ref):
+    def kernel(*refs):
+        if compact:
+            (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref) = refs
+            t3s_ref = geo_ref = None
+        else:
+            (t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref) = refs
         max_bits = sc_ref[0]
         max_n = sc_ref[1]
         lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
@@ -801,8 +868,8 @@ def _hybrid_fn(
                 vend = jnp.minimum(lis_t - r * LANES, LANES)
                 valid = (lanes >= start) & (lanes < vend)
                 is_a = (erow & 1) == 1
-                df = ((vrow >> 5) & 31) - 1
-                gf = ((vrow >> 10) & 31) - 1
+                df = ((vrow >> DF_SH) & 31) - 1
+                gf = ((vrow >> GF_SH) & 31) - 1
                 # select over i32 then compare (Mosaic rejects i8->i1)
                 sig0 = jnp.where(is_a, df, gf) >= n
                 fired = valid & sig0
@@ -839,21 +906,34 @@ def _hybrid_fn(
                     dead = dead | (do & ~ok0).astype(_I32)
                     grp = fire_ok.astype(_I32)
                     kk = fire_ok.astype(_I32)
-                    hc = ((entv >> 16) & 1) == 1
-                    hgf = ((entv >> 17) & 1) == 1
-                    c0 = rd(geo_ref, node, N)
+                    hc = ((entv >> HC_SH) & 1) == 1
+                    hgf = ((entv >> HG_SH) & 1) == 1
+                    if compact:
+                        c0 = ent >> 1  # entries carry child0 directly
+                    else:
+                        c0 = rd(geo_ref, node, N)
                     run_children = a_t & fire_ok & hc
                     dead_c = jnp.zeros((), jnp.bool_)
                     nsh = jnp.clip(n, 0, 31)
                     lsp_vals, lsp_slots = [], []
                     lip_vals, lip_slots = [], []
+                    ccs = []
                     csum = jnp.zeros((), _I32)
                     isumk = jnp.zeros((), _I32)
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                        ct3 = rd(t3s_ref, ch, N)
-                        cmag = ct3 & 0x7FFFFFFF
-                        cnneg = jax.lax.shift_right_logical(ct3, _C31)
+                        if compact:
+                            cc = rd(t1_ref, ch, N)
+                            ccs.append((ch, cc))
+                            cmag = cc & 0xFFFF
+                            cnneg = (
+                                jax.lax.shift_right_logical(cc, _C16) & 1
+                            )
+                            ct3 = (cnneg << 31) | cmag
+                        else:
+                            ct3 = rd(t3s_ref, ch, N)
+                            cmag = ct3 & 0x7FFFFFFF
+                            cnneg = jax.lax.shift_right_logical(ct3, _C31)
                         csig = (
                             jax.lax.shift_right_logical(cmag, nsh) != 0
                         )
@@ -893,10 +973,20 @@ def _hybrid_fn(
                     lis_t = lis_t + reapp.astype(_I32)
                     b_fired = (~a_t) & fire_ok & hc
                     bent, bval = [], []
-                    for k in range(4):
-                        ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                        bent.append((ch << 1) | 1)
-                        bval.append(rd(t1_ref, ch, N))
+                    if compact:
+                        # child's own c0 is closed-form (dyadic rule —
+                        # children of any LIS node are non-LL); the
+                        # combo words were already gathered above
+                        cix = jax.lax.shift_right_logical(entv, _C29) & 7
+                        cbase = cix * HW
+                        for ch, cc in ccs:
+                            bent.append((((ch << 1) - cbase) << 1) | 1)
+                            bval.append(cc)
+                    else:
+                        for k in range(4):
+                            ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                            bent.append((ch << 1) | 1)
+                            bval.append(rd(t1_ref, ch, N))
                     appendk(
                         [(lis_ref, bent), (lisv_ref, bval)],
                         lis_t,
@@ -966,6 +1056,7 @@ def _hybrid_fn(
             )
         )
 
+    n_tables = 1 if compact else 3
     call = pl.pallas_call(
         kernel,
         out_shape=[
@@ -973,9 +1064,9 @@ def _hybrid_fn(
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # T1 levels+flags
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # T3s sign|mag
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # child0
+            # compact: one combo table; else T1 levels+flags, T3s
+            # sign|mag, child0
+            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tables),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init payload
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init entries
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init values
@@ -999,16 +1090,21 @@ def _hybrid_fn(
     def fn(arr, max_n, max_bits):
         arr = jnp.asarray(arr, jnp.int32)
         m, d, gm = significance_maps(arr, ll_h, ll_w)
-        mf = m.reshape(-1).astype(_I32) + 1
         df = d.reshape(-1).astype(_I32) + 1
         gf = gm.reshape(-1).astype(_I32) + 1
         flat = arr.reshape(-1)
         sgn = (flat >= 0).astype(_I32)
-        t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags
         t3s = (sgn << 31) | jnp.abs(flat)
+        if compact:
+            t1 = (
+                jnp.abs(flat) | (sgn << 16) | (df << 17) | (gf << 22)
+                | hc_flags
+            )
+        else:
+            mf = m.reshape(-1).astype(_I32) + 1
+            t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags
         pad = T_ROWS * LANES - N
         t1p = jnp.pad(t1, (0, pad)).reshape(T_ROWS, LANES)
-        t3sp = jnp.pad(t3s, (0, pad)).reshape(T_ROWS, LANES)
         lip_pay = t3s[lip0_j]
         lip_pay = jnp.pad(
             lip_pay, (0, LI_ROWS * LANES - n_lip0)
@@ -1021,8 +1117,13 @@ def _hybrid_fn(
             jnp.asarray(max_bits, _I32), jnp.asarray(cap_bits, _I32)
         )
         sc = jnp.stack([mb, jnp.asarray(max_n, _I32)])
+        if compact:
+            tables = (t1p,)
+        else:
+            t3sp = jnp.pad(t3s, (0, pad)).reshape(T_ROWS, LANES)
+            tables = (t1p, t3sp, geo2d)
         words2d, stat = call(
-            t1p, t3sp, geo2d, lip_pay, lisi2d, lisv0, sc
+            *tables, lip_pay, lisi2d, lisv0, sc
         )
         words = jax.lax.bitcast_convert_type(
             words2d.reshape(-1)[:cap_words], jnp.uint32
@@ -1882,17 +1983,37 @@ def pallas_encode(
     arr: np.ndarray, ll_h: int, ll_w: int, max_bits: int = 2**31 - 2,
     interpret: bool = False, machine: str | None = None,
 ):
-    """(bytes, max_n) via the Pallas emission machine."""
+    """(bytes, max_n) via the Pallas emission machine.
+
+    Auto-routing: the standard hybrid when its 3-table state fits VMEM;
+    else the compact machine (1 combo table) when max_n <= 15 — which
+    admits 2048^2-class geometries at bounded bit budgets and 1024^2
+    full streams; else MachineResourceLimit (callers fall back to the
+    XLA formulations)."""
     from .oracle import compute_max_n
 
     arr = np.ascontiguousarray(arr, dtype=np.int32)
     c, h, w = arr.shape
     max_bits = min(int(max_bits), 2**31 - 2)
     cap_words = _cap_words_for(c, h, w, max_bits)
-    if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
-        raise MachineResourceLimit(f"{c}x{h}x{w}")
-    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret, machine)
     mn = compute_max_n(arr)
+    if machine is None and "SPIHT_TPU_PALLAS_ENC_MACHINE" not in os.environ:
+        if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+            if mn <= 15 and machine_fits(
+                c, h, w, ll_h, ll_w, cap_words, compact=True
+            ):
+                machine = "compact"
+            else:
+                raise MachineResourceLimit(f"{c}x{h}x{w}")
+    else:
+        m = machine or os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE")
+        if m == "compact" and mn > 15:
+            raise MachineResourceLimit(f"max_n={mn} > 15 (compact)")
+        if not machine_fits(
+            c, h, w, ll_h, ll_w, cap_words, compact=(m == "compact")
+        ):
+            raise MachineResourceLimit(f"{c}x{h}x{w}")
+    fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret, machine)
     words, total, overflow = fn(jnp.asarray(arr), mn, max_bits)
     if bool(overflow):
         raise EncCapacityOverflow(int(total))

@@ -16,7 +16,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("machine", ["hybrid", "seq"])
+@pytest.mark.parametrize("machine", ["hybrid", "seq", "compact"])
 @pytest.mark.parametrize(
     "shape,ll",
     [
@@ -38,7 +38,7 @@ def test_pallas_encoder_full_stream(rng, shape, ll, machine):
     assert got == want
 
 
-@pytest.mark.parametrize("machine", ["hybrid", "seq"])
+@pytest.mark.parametrize("machine", ["hybrid", "seq", "compact"])
 @pytest.mark.parametrize(
     "shape,ll",
     [

@@ -37,10 +37,22 @@ def test_vmem_estimates_gate_by_geometry():
     assert pallas_decoder.machine_fits(3, 537, 537, 9, 9, 8192)
     # hardware-verified upper end: 3x1024x1024/L7 still fits
     assert pallas_encoder.machine_fits(3, 1025, 1025, 9, 9, 32768)
-    # 2048-class: the encoder's three N-sized tables (~151 MB) exceed
-    # the budget at any bit budget ...
+    # 2048-class: the standard encoder's three N-sized tables (~151 MB)
+    # exceed the budget at any bit budget ...
     assert not pallas_encoder.machine_fits(3, 2048, 2048, 16, 16, 8192)
     assert not pallas_encoder.machine_fits(3, 2048, 2048, 16, 16, 131072)
+    # ... but the COMPACT machine (one combo table, max_n <= 15) admits
+    # 2048^2 at bounded budgets and 1024^2 full streams, while unbounded
+    # 2048^2 budgets still fall back
+    assert pallas_encoder.machine_fits(
+        3, 2048, 2048, 16, 16, 131072, compact=True
+    )
+    assert not pallas_encoder.machine_fits(
+        3, 2048, 2048, 16, 16, (3 * 2048 * 2048 * 40) // 32, compact=True
+    )
+    assert pallas_encoder.machine_fits(
+        3, 1053, 1053, 9, 9, (3 * 1053 * 1053 * 40) // 32, compact=True
+    )
     # ... but the decoder's budget-narrowed state admits 2048^2 at
     # bounded budgets (deliberate round-3 change; hardware-validated —
     # BASELINE.md round-4 section), while unbounded budgets still fall
@@ -55,9 +67,11 @@ def test_vmem_estimates_gate_by_geometry():
 
 
 def test_closed_form_bounds_match_table_dp():
-    """tree_bounds.queue_bounds must equal the _dec_geom diagonal-sweep
-    DP field-for-field, including odd-LL duplicate-parent geometries."""
-    from spiht_tpu.codec.device_decoder import _dec_geom
+    """tree_bounds.queue_bounds must equal the diagonal-sweep table DP
+    (_bound_dp — the ground truth _dec_geom's bounds now come from the
+    closed form, so the comparison is against the standalone DP)
+    field-for-field, including odd-LL duplicate-parent geometries."""
+    from spiht_tpu.codec.device_decoder import _bound_dp, _dec_geom
 
     geoms = [(1, h, w, lh, lw)
              for lh in (2, 3, 4, 5)
@@ -69,10 +83,11 @@ def test_closed_form_bounds_match_table_dp():
     for (c, h, w, lh, lw) in geoms:
         d = _dec_geom(c, h, w, lh, lw)
         q = queue_bounds(c, h, w, lh, lw)
+        ent_dp, lis_dp = _bound_dp(c, h, w, lh, lw)
         assert q.n_lip0 == int(d["lip_init"].size), (c, h, w, lh, lw)
         assert q.n_lis0 == int(d["lis_init"].size), (c, h, w, lh, lw)
-        assert q.ent_bound == int(d["ent_bound"]), (c, h, w, lh, lw)
-        assert q.lis_bound == int(d["lis_bound"]), (c, h, w, lh, lw)
+        assert q.ent_bound == ent_dp == int(d["ent_bound"]), (c, h, w, lh, lw)
+        assert q.lis_bound == lis_dp == int(d["lis_bound"]), (c, h, w, lh, lw)
         # duplicate-parent detection vs table-built coverage counts
         hc = np.asarray(d["has_child"], bool)[: h * w]
         c0 = np.asarray(d["child0"], np.int64)[: h * w][hc]
@@ -95,6 +110,33 @@ def test_guards_answer_fast_at_any_geometry():
         pallas_decoder.interleaved_fits(4, *g)
     dt = time.perf_counter() - t0
     assert dt < 0.05, f"guard evaluation took {dt * 1e3:.1f} ms"
+
+
+def test_encode_routes_compact_between_budgets(rng, monkeypatch):
+    """With the budget squeezed between the compact and standard state
+    sizes, pallas_encode must auto-route to the compact machine and
+    stay bit-exact (the production path for 2048^2-class geometries)."""
+    c, h, w, lh, lw = 1, 19, 19, 5, 5  # odd LL: duplicate parents
+    cap_words = pallas_encoder._cap_words_for(c, h, w, 2**31 - 2)
+    small = pallas_encoder.machine_vmem_bytes(
+        c, h, w, lh, lw, cap_words, compact=True
+    )
+    big = pallas_encoder.machine_vmem_bytes(c, h, w, lh, lw, cap_words)
+    assert small < big
+    monkeypatch.setattr(pallas_encoder, "_VMEM_BUDGET_BYTES", small)
+    monkeypatch.setattr(
+        pallas_encoder, "_hybrid_fn", pallas_encoder._hybrid_fn.__wrapped__
+    )  # shed the lru_cache so the budget monkeypatch can't cross-talk
+    nat = runtime.load()
+    arr = (rng.standard_normal((c, h, w)) * 900).astype(np.int32)
+    want, wmn = nat.encode(arr, lh, lw, 2**31 - 2)
+    got, gmn = pallas_encoder.pallas_encode(arr, lh, lw, interpret=True)
+    assert gmn == wmn and got == want
+    # data outside the compact domain (max_n > 15) must fall back
+    arr_big = arr.copy()
+    arr_big[0, 0, 0] = 1 << 17
+    with pytest.raises(pallas_encoder.MachineResourceLimit):
+        pallas_encoder.pallas_encode(arr_big, lh, lw, interpret=True)
 
 
 def test_routers_fall_back_when_over_budget(rng, monkeypatch):
