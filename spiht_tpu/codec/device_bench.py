@@ -265,14 +265,15 @@ def main() -> None:
         except Exception as exc:
             log(f"batch encode lane failed: {type(exc).__name__}: {exc}")
     # ---- interleaved B-chain machines (production batched lanes):
-    # one kernel steps B machines per iteration (BASELINE.md round 3).
-    # Default B=8 on TPU; SPIHT_TPU_BENCH_ILV=0 disables.
-    if on_tpu and os.environ.get("SPIHT_TPU_BENCH_ILV", "8") not in (
+    # one kernel steps B machines per iteration (BASELINE.md rounds
+    # 3-4). Default B=16 on TPU (the compact encode layout fits B=16
+    # and hits 30.1 MP/s aggregate); SPIHT_TPU_BENCH_ILV=0 disables.
+    if on_tpu and os.environ.get("SPIHT_TPU_BENCH_ILV", "16") not in (
         "0", ""
     ):
         try:
             _ilv_lane(
-                int(os.environ.get("SPIHT_TPU_BENCH_ILV", "8")), bpp,
+                int(os.environ.get("SPIHT_TPU_BENCH_ILV", "16")), bpp,
                 h_in, w_in, im, settings, level, nat, c, h, w, llh,
                 llw, out,
             )
@@ -440,8 +441,14 @@ def _ilv_lane(B, bpp, h_in, w_in, im, settings, level, nat, c, h, w,
 
     # ---- encode ----
     cap_words = pe._cap_words_for(c, h, w, mb)
-    if pe.interleaved_fits(B, c, h, w, llh, llw, cap_words):
-        efn = pe._interleaved_fn(B, c, h, w, llh, llw, cap_words)
+    # production routing: the compact layout when valid (max_n <= 15),
+    # else the standard 2-table layout (see pallas_encode_batch)
+    compact = max(mns) <= 15 and pe.interleaved_fits(
+        B, c, h, w, llh, llw, cap_words, compact=True
+    )
+    if compact or pe.interleaved_fits(B, c, h, w, llh, llw, cap_words):
+        efn = pe._interleaved_fn(B, c, h, w, llh, llw, cap_words,
+                                 compact=compact)
         ja = jax.device_put(jnp.asarray(np.stack(arrs)))
         jmn = jax.device_put(jnp.asarray(np.array(mns, np.int32)))
         jmb = jax.device_put(jnp.full(B, mb, jnp.int32))
@@ -463,8 +470,9 @@ def _ilv_lane(B, bpp, h_in, w_in, im, settings, level, nat, c, h, w,
             got = words_h[b].view(np.uint8)[: (t + 7) // 8].tobytes()
             exact = exact and wmn == mns[b] and got == want
         mpps = B * c * h * w / 1e6 / med
-        log(f"encode ilv B={B} @{bpp}bpp: first {first:.1f}s, median "
-            f"{med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate, "
+        tag = "compact" if compact else "standard"
+        log(f"encode ilv B={B} ({tag}) @{bpp}bpp: first {first:.1f}s, "
+            f"median {med*1e3:.0f} ms = {mpps:.2f} MP/s aggregate, "
             f"exact={exact}")
         out[f"mpps_enc_ilv{B}"] = round(mpps, 3)
         out[f"exact_enc_ilv{B}"] = exact

@@ -1174,32 +1174,39 @@ def _narrowed_caps(g, cap_words: int):
 
 
 def interleaved_vmem_bytes(
-    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    compact: bool = False,
 ) -> int:
     """Exact VMEM bytes the B-chain interleaved machine requests
     (per-chain tables/queues with budget-narrowed caps; the child0
     geometry table and LIS init entries are shared across chains).
-    Closed-form, like ``machine_vmem_bytes``."""
+    ``compact`` is the one-combo-table variant (max_n <= 15): one
+    N-sized table per chain instead of two, and no shared geometry
+    table.  Closed-form, like ``machine_vmem_bytes``."""
     qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
     lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
     li_rows = _rows(max(qb.n_lip0, 1))
     ls_rows = _rows(max(qb.n_lis0, 1))
+    n_tables = 1 if compact else 2
     per_chain = (
-        2 * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        n_tables * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap) + _rows(cap_words) + li_rows + ls_rows
     )
-    shared = _rows(N) + ls_rows + 256
+    shared = (0 if compact else _rows(N)) + ls_rows + 256
     return 4 * LANES * (B * per_chain + shared)
 
 
 def interleaved_fits(
-    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    compact: bool = False,
 ) -> bool:
     if c * h * w >= 1 << 24:
         return False
+    if compact and c > 8:
+        return False
     return (
-        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words, compact)
         <= _VMEM_BUDGET_BYTES
     )
 
@@ -1214,6 +1221,7 @@ def _interleaved_fn(
     ll_w: int,
     cap_words: int,
     interpret: bool = False,
+    compact: bool = False,
 ):
     """B-chain INTERLEAVED hybrid emission machine: ONE kernel steps B
     independent machines per loop iteration (per-chain scalar carries +
@@ -1233,12 +1241,23 @@ def _interleaved_fn(
     budget-narrowed (see ``_narrowed_caps``) so B=8 fits VMEM at the
     512^2 headline geometry; the child0 table and initial LIS entries
     are geometry-only and shared across chains.
+
+    ``compact=True`` is the COMPACT layout (see ``_hybrid_fn``; requires
+    ``max_n <= 15`` on every chain and ``c <= 8``): one combo word per
+    cell and first-child LIS entries, so the fire body issues 4 one-hot
+    gathers instead of 9.  The interleaved machine is VPU-ISSUE-bound
+    (the ILP spike: chains overlap only ~1.7x at B=8), so cutting the
+    fire body's issue count raises both per-chain speed and cross-chain
+    overlap, and the saved N-table per chain (plus the dropped shared
+    geometry table) buys VMEM headroom for larger B.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if c * h * w >= 1 << 24:
         raise ValueError("geometry too large for packed queue entries")
+    if compact and c > 8:
+        raise ValueError("compact machine packs cix in 3 bits (c <= 8)")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
     LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
@@ -1252,14 +1271,31 @@ def _interleaved_fn(
     hc_np = np.asarray(g["has_child"], bool)
     hg_np = np.asarray(g["hg"], bool)
     child0_np = np.asarray(g["child0"], np.int32)
-    geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
-    hc_flags = jnp.asarray(
-        (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
-    )
+    if compact:
+        geo2d = None
+        cix_np = (
+            np.arange(c, dtype=np.int32)[:, None]
+            .repeat(h * w, axis=1).reshape(-1)
+        )
+        hc_flags = jnp.asarray(
+            (hc_np.astype(np.int32) << 27)
+            | (hg_np.astype(np.int32) << 28)
+            | (cix_np << 29)
+        )
+    else:
+        geo2d = jnp.asarray(_pad2d(child0_np, T_ROWS, np.int32))
+        hc_flags = jnp.asarray(
+            (hc_np.astype(np.int32) << 16) | (hg_np.astype(np.int32) << 17)
+        )
 
     lip0_np = g["lip_init"].astype(np.int64)
     lis_nodes_np = g["lis_init"].astype(np.int64)
-    lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
+    if compact:
+        lis0 = (
+            (child0_np[lis_nodes_np].astype(np.int64) << 1) | 1
+        ).astype(np.int32)
+    else:
+        lis0 = ((lis_nodes_np << 1) | 1).astype(np.int32)
     n_lip0 = int(lip0_np.size)
     n_lis0 = int(lis0.size)
     LI_ROWS = _rows(max(n_lip0, 1))
@@ -1268,14 +1304,29 @@ def _interleaved_fn(
     lip0_j = jnp.asarray(lip0_np.astype(np.int32))
     lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
 
-    vmem_bytes = interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words)
+    vmem_bytes = interleaved_vmem_bytes(
+        B, c, h, w, ll_h, ll_w, cap_words, compact=compact
+    )
+
+    # LIS value-word field offsets (combo vs t1 layouts)
+    DF_SH, GF_SH, HC_SH, HG_SH = (
+        (17, 22, 27, 28) if compact else (5, 10, 16, 17)
+    )
+    HW = h * w
 
     # per-chain carry layout (i32 scalars), as in _hybrid_fn:
     # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
-    def kernel(t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
-               sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
-               lsp_ref):
+    def kernel(*refs):
+        if compact:
+            (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref) = refs
+            t3s_ref = geo_ref = None
+        else:
+            (t1_ref, t3s_ref, geo_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref) = refs
         lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
         sq0 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 0)
         sq1 = jax.lax.broadcasted_iota(_I32, (LANES, LANES), 1)
@@ -1523,8 +1574,8 @@ def _interleaved_fn(
             )
             valid = (lanes >= start) & (lanes < vend)
             is_a = (erow & 1) == 1
-            df = ((vrow >> 5) & 31) - 1
-            gf = ((vrow >> 10) & 31) - 1
+            df = ((vrow >> DF_SH) & 31) - 1
+            gf = ((vrow >> GF_SH) & 31) - 1
             sig0 = jnp.where(is_a, df, gf) >= n
             fired = valid & sig0
             retain = valid & ~sig0
@@ -1563,22 +1614,35 @@ def _interleaved_fn(
             dead = dead | (do & ~ok0).astype(_I32)
             grp = fire_ok.astype(_I32)
             kk = fire_ok.astype(_I32)
-            hc = ((entv >> 16) & 1) == 1
-            hgf = ((entv >> 17) & 1) == 1
-            c0 = rd(geo_ref, 0, node, N)
+            hc = ((entv >> HC_SH) & 1) == 1
+            hgf = ((entv >> HG_SH) & 1) == 1
+            if compact:
+                c0 = ent >> 1  # entries carry child0 directly
+            else:
+                c0 = rd(geo_ref, 0, node, N)
             run_children = a_t & fire_ok & hc
             dead_c = jnp.zeros((), jnp.bool_)
             nsh = jnp.clip(n, 0, 31)
             lsp_vals, lsp_slots = [], []
             lip_vals, lip_slots = [], []
+            ccs = []
             csum = jnp.zeros((), _I32)
             isumk = jnp.zeros((), _I32)
             tbase = b * T_ROWS
             for k in range(4):
                 ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                ct3 = rd(t3s_ref, tbase, ch, N)
-                cmag = ct3 & 0x7FFFFFFF
-                cnneg = jax.lax.shift_right_logical(ct3, _C31)
+                if compact:
+                    cc = rd(t1_ref, tbase, ch, N)
+                    ccs.append((ch, cc))
+                    cmag = cc & 0xFFFF
+                    cnneg = (
+                        jax.lax.shift_right_logical(cc, _C16) & 1
+                    )
+                    ct3 = (cnneg << 31) | cmag
+                else:
+                    ct3 = rd(t3s_ref, tbase, ch, N)
+                    cmag = ct3 & 0x7FFFFFFF
+                    cnneg = jax.lax.shift_right_logical(ct3, _C31)
                 csig = (
                     jax.lax.shift_right_logical(cmag, nsh) != 0
                 )
@@ -1615,10 +1679,20 @@ def _interleaved_fn(
             lis_t = lis_t + reapp.astype(_I32)
             b_fired = (~a_t) & fire_ok & hc
             bent, bval = [], []
-            for k in range(4):
-                ch = jnp.clip(c0 + child_off[k], 0, N - 1)
-                bent.append((ch << 1) | 1)
-                bval.append(rd(t1_ref, tbase, ch, N))
+            if compact:
+                # child's own c0 is closed-form (dyadic rule — children
+                # of any LIS node are non-LL); the combo words were
+                # already gathered above
+                cix = jax.lax.shift_right_logical(entv, _C29) & 7
+                cbase = cix * HW
+                for ch, cc in ccs:
+                    bent.append((((ch << 1) - cbase) << 1) | 1)
+                    bval.append(cc)
+            else:
+                for k in range(4):
+                    ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                    bent.append((ch << 1) | 1)
+                    bval.append(rd(t1_ref, tbase, ch, N))
             appendk(
                 [(lis_ref, lbase, bent), (lisv_ref, lbase, bval)],
                 lis_t,
@@ -1786,6 +1860,7 @@ def _interleaved_fn(
             )
         )
 
+    n_tables = 1 if compact else 3  # stacked T1 [+ stacked T3s + geo]
     call = pl.pallas_call(
         kernel,
         out_shape=[
@@ -1793,9 +1868,7 @@ def _interleaved_fn(
             jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
         ],
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # T1 stacked
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # T3s stacked
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # child0 (shared)
+            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tables),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init stacked
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init (shared)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis values stacked
@@ -1819,18 +1892,24 @@ def _interleaved_fn(
     def fn(arrs, max_ns, max_bits):
         arrs = jnp.asarray(arrs, jnp.int32)
         m, d, gm = significance_maps(arrs, ll_h, ll_w)
-        mf = m.reshape(B, -1).astype(_I32) + 1
         df = d.reshape(B, -1).astype(_I32) + 1
         gf = gm.reshape(B, -1).astype(_I32) + 1
         flat = arrs.reshape(B, -1)
         sgn = (flat >= 0).astype(_I32)
-        t1 = mf | (df << 5) | (gf << 10) | (sgn << 15) | hc_flags[None]
+        if compact:
+            t1 = (
+                jnp.abs(flat) | (sgn << 16) | (df << 17) | (gf << 22)
+                | hc_flags[None]
+            )
+        else:
+            mf = m.reshape(B, -1).astype(_I32) + 1
+            t1 = (
+                mf | (df << 5) | (gf << 10) | (sgn << 15)
+                | hc_flags[None]
+            )
         t3s = (sgn << 31) | jnp.abs(flat)
         pad = T_ROWS * LANES - N
         t1p = jnp.pad(t1, ((0, 0), (0, pad))).reshape(
-            B * T_ROWS, LANES
-        )
-        t3sp = jnp.pad(t3s, ((0, 0), (0, pad))).reshape(
             B * T_ROWS, LANES
         )
         lip_pay = t3s[:, lip0_j]
@@ -1847,8 +1926,15 @@ def _interleaved_fn(
         sc = jnp.stack(
             [mb, jnp.asarray(max_ns, _I32)], axis=1
         ).reshape(2 * B)
+        if compact:
+            tables = (t1p,)
+        else:
+            t3sp = jnp.pad(t3s, ((0, 0), (0, pad))).reshape(
+                B * T_ROWS, LANES
+            )
+            tables = (t1p, t3sp, geo2d)
         words2d, stat = call(
-            t1p, t3sp, geo2d, lip_pay, lisi2d, lisv0, sc
+            *tables, lip_pay, lisi2d, lisv0, sc
         )
         words = jax.lax.bitcast_convert_type(
             words2d.reshape(B, W_ROWS * LANES)[:, :cap_words],
@@ -1901,9 +1987,9 @@ def _batch_fn_cached(c, h, w, ll_h, ll_w, cap_words, interpret, machine):
 
 def _ilv_chunk_b() -> int:
     try:
-        return max(int(os.environ.get("SPIHT_TPU_PALLAS_ILV_B", "8")), 1)
+        return max(int(os.environ.get("SPIHT_TPU_PALLAS_ILV_B", "16")), 1)
     except ValueError:
-        return 8
+        return 16
 
 
 def pallas_encode_batch(
@@ -1933,19 +2019,44 @@ def pallas_encode_batch(
     mode = os.environ.get("SPIHT_TPU_PALLAS_ENC_BATCH", "auto")
     if machine is None:
         machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
-    bchunk = min(_ilv_chunk_b(), B)
-    use_ilv = mode != "map" and machine == "hybrid" and (
-        interleaved_fits(bchunk, c, h, w, ll_h, ll_w, cap_words)
-    )
-    if mode == "ilv" and not use_ilv:
-        raise MachineResourceLimit(f"ilv B={bchunk} {c}x{h}x{w}")
     mns = np.array([compute_max_n(a) for a in arrs], np.int32)
+
+    def _fit_chunk(compact_flag):
+        # largest halving chunk <= the requested B that fits VMEM
+        # (halving keeps the compiled-kernel cache keys bounded)
+        bc = min(_ilv_chunk_b(), B)
+        while bc >= 1:
+            if interleaved_fits(bc, c, h, w, ll_h, ll_w, cap_words,
+                                compact=compact_flag):
+                return bc
+            bc //= 2
+        return 0
+
+    mn_ok = int(mns.max(initial=0)) <= 15
+    bc_compact = _fit_chunk(True) if mn_ok else 0
+    bc_std = _fit_chunk(False)
+    if machine == "compact":
+        use_ilv = mode != "map" and bc_compact > 0
+        ilv_compact, bchunk = True, max(bc_compact, 1)
+    else:
+        # the compact layout wins whenever it is valid (hardware at the
+        # 512^2 headline, BASELINE.md round 4: 27.5 vs 21.7 MP/s
+        # aggregate at B=8, 30.1 MP/s at B=16) and admits larger B at
+        # equal VMEM; data with max_n > 15 keeps the standard layout
+        use_ilv = mode != "map" and machine == "hybrid" and (
+            bc_std > 0 or bc_compact > 0
+        )
+        ilv_compact = bc_compact > 0
+        bchunk = max(bc_compact if ilv_compact else bc_std, 1)
+    if mode == "ilv" and not use_ilv:
+        raise MachineResourceLimit(f"ilv {c}x{h}x{w}")
     if use_ilv:
         words_l, totals_l, ovf_l = [], [], []
         for s in range(0, B, bchunk):
             e = min(s + bchunk, B)
             fn = _interleaved_fn(e - s, c, h, w, ll_h, ll_w,
-                                 cap_words, interpret)
+                                 cap_words, interpret,
+                                 compact=ilv_compact)
             wds, tot, ov = fn(
                 jnp.asarray(arrs[s:e]), jnp.asarray(mns[s:e]),
                 jnp.asarray(mbs[s:e]),
@@ -1957,7 +2068,8 @@ def pallas_encode_batch(
         totals = np.concatenate(totals_l)
         ovf = np.concatenate(ovf_l)
     else:
-        if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+        if not machine_fits(c, h, w, ll_h, ll_w, cap_words,
+                            compact=(machine == "compact")):
             raise MachineResourceLimit(f"{c}x{h}x{w}")
         fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
                                     interpret, machine)

@@ -90,7 +90,7 @@ def test_pallas_encoder_constant_array():
     assert got == want
 
 
-def _ilv_batch(arrs, ll, mbs):
+def _ilv_batch(arrs, ll, mbs, machine=None):
     """Force the interleaved route (raises if it cannot run)."""
     import os
 
@@ -99,7 +99,8 @@ def _ilv_batch(arrs, ll, mbs):
     old = os.environ.get("SPIHT_TPU_PALLAS_ENC_BATCH")
     os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"] = "ilv"
     try:
-        return pallas_encode_batch(arrs, *ll, mbs, interpret=True)
+        return pallas_encode_batch(arrs, *ll, mbs, interpret=True,
+                                   machine=machine)
     finally:
         if old is None:
             del os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"]
@@ -107,6 +108,7 @@ def _ilv_batch(arrs, ll, mbs):
             os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"] = old
 
 
+@pytest.mark.parametrize("machine", [None, "compact"])
 @pytest.mark.parametrize(
     "shape,ll,B",
     [
@@ -116,7 +118,7 @@ def _ilv_batch(arrs, ll, mbs):
         ((2, 21, 13), (3, 2), 2),
     ],
 )
-def test_interleaved_encoder_full_stream(rng, shape, ll, B):
+def test_interleaved_encoder_full_stream(rng, shape, ll, B, machine):
     """The B-chain interleaved machine is byte-identical per lane."""
     nat = runtime.load()
     arrs = np.stack([
@@ -124,13 +126,16 @@ def test_interleaved_encoder_full_stream(rng, shape, ll, B):
         for s in rng.choice([7, 400, 3000], B)
     ])
     want = [nat.encode(arrs[b], *ll, 2**31 - 2) for b in range(B)]
-    got = _ilv_batch(arrs, ll, 2**31 - 2)
+    got = _ilv_batch(arrs, ll, 2**31 - 2, machine=machine)
     for b in range(B):
         assert got[b][1] == want[b][1], b
         assert got[b][0] == want[b][0], b
 
 
-def test_interleaved_encoder_heterogeneous_budgets_and_planes(rng):
+@pytest.mark.parametrize("machine", [None, "compact"])
+def test_interleaved_encoder_heterogeneous_budgets_and_planes(
+    rng, machine
+):
     """Chains with different max_n (plane counts) and different
     max_bits cut mid-symbol independently; a zero image is legal."""
     nat = runtime.load()
@@ -143,13 +148,14 @@ def test_interleaved_encoder_heterogeneous_budgets_and_planes(rng):
     arrs[3] = 0
     mbs = [1, 333, 2897, 500]
     want = [nat.encode(arrs[b], *ll, mbs[b]) for b in range(4)]
-    got = _ilv_batch(arrs, ll, mbs)
+    got = _ilv_batch(arrs, ll, mbs, machine=machine)
     for b in range(4):
         assert got[b][1] == want[b][1], b
         assert got[b][0] == want[b][0], (b, mbs[b])
 
 
-def test_interleaved_odd_ll_budget_cuts(rng):
+@pytest.mark.parametrize("machine", [None, "compact"])
+def test_interleaved_odd_ll_budget_cuts(rng, machine):
     nat = runtime.load()
     shape, ll = (1, 19, 19), (5, 5)
     arrs = np.stack([
@@ -158,9 +164,20 @@ def test_interleaved_odd_ll_budget_cuts(rng):
     ])
     mbs = [13, 222, 2**31 - 2]
     want = [nat.encode(arrs[b], *ll, mbs[b]) for b in range(3)]
-    got = _ilv_batch(arrs, ll, mbs)
+    got = _ilv_batch(arrs, ll, mbs, machine=machine)
     for b in range(3):
         assert got[b][1] == want[b][1] and got[b][0] == want[b][0], b
+
+
+def test_interleaved_compact_requires_small_magnitudes(rng):
+    """machine='compact' on data with max_n > 15 refuses the route
+    (MachineResourceLimit) instead of emitting wrong bits."""
+    from spiht_tpu.codec.pallas_encoder import MachineResourceLimit
+
+    arrs = np.zeros((2, 1, 16, 16), np.int32)
+    arrs[:, 0, 3, 5] = 2**22  # max_n = 22 > 15
+    with pytest.raises(MachineResourceLimit):
+        _ilv_batch(arrs, (4, 4), 2**31 - 2, machine="compact")
 
 
 def test_interleaved_vmem_accounting():
@@ -176,3 +193,11 @@ def test_interleaved_vmem_accounting():
     assert interleaved_fits(8, 3, 537, 537, 12, 12, cw)
     # 2048-class geometry stays out (packed-entry bound)
     assert not interleaved_fits(2, 3, 2079, 2079, 17, 17, cw)
+    # compact drops one N-table per chain + the shared geo table, so
+    # it is strictly smaller and admits larger B at the same geometry
+    vbc = interleaved_vmem_bytes(8, 3, 537, 537, 12, 12, cw,
+                                 compact=True)
+    assert vbc < vb
+    assert interleaved_fits(16, 3, 537, 537, 12, 12, cw, compact=True)
+    assert not interleaved_fits(8, 9, 537, 537, 12, 12, cw,
+                                compact=True)  # cix needs c <= 8

@@ -7,7 +7,7 @@ block_until_ready can return early).
 
 Run (one B per process; the tunneled chip can wedge after many large
 kernels in one process):
-    python tools/bench_ilv_encoder.py B [HxW] [level] [bpp] [map]
+    python tools/bench_ilv_encoder.py B [HxW] [level] [bpp] [map|compact]
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ def main():
     level = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     bpp = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
     use_map = len(sys.argv) > 5 and sys.argv[5] == "map"
+    compact = len(sys.argv) > 5 and sys.argv[5] == "compact"
 
     rng = np.random.default_rng(1234)
     yy, xx = np.mgrid[0:h_in, 0:w_in].astype(np.float64)
@@ -80,10 +81,13 @@ def main():
         fn = pallas_encode_batch_fn(c, h, w, llh, llw, cap_words)
         tag = "lax.map"
     else:
-        vb = interleaved_vmem_bytes(B, c, h, w, llh, llw, cap_words)
-        print(f"interleaved state: {vb / 2**20:.1f} MB", flush=True)
-        fn = _interleaved_fn(B, c, h, w, llh, llw, cap_words)
-        tag = "interleaved"
+        vb = interleaved_vmem_bytes(B, c, h, w, llh, llw, cap_words,
+                                    compact=compact)
+        print(f"interleaved state: {vb / 2**20:.1f} MB "
+              f"(compact={compact})", flush=True)
+        fn = _interleaved_fn(B, c, h, w, llh, llw, cap_words,
+                             compact=compact)
+        tag = "ilv-compact" if compact else "interleaved"
 
     ja = jax.device_put(jnp.asarray(np.stack(arrs)))
     jmn = jax.device_put(jnp.asarray(np.array(mns, np.int32)))
