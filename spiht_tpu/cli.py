@@ -268,6 +268,24 @@ def cmd_progressive(args) -> int:
             image, settings, level=level, max_bits=round(args.bpp * h * w)
         )
     total_bytes = len(er.encoded_bytes)
+
+    def _annotate(img, bpp):
+        # burned-in bpp overlay (reference make_gif.py:43,78): red
+        # text top-left; PIL's default font scaled to the frame
+        from PIL import ImageDraw, ImageFont
+
+        img = img.convert("RGB") if img.mode != "RGB" else img
+        try:
+            font = ImageFont.load_default(
+                size=max(img.height // 12, 10)
+            )
+        except TypeError:  # older PIL: fixed-size bitmap font
+            font = ImageFont.load_default()
+        ImageDraw.Draw(img).text(
+            (10, 10), f"BPP: {bpp:.4f}", (255, 0, 0), font=font
+        )
+        return img
+
     frames = []
     coeff_frames = []
     for f in range(1, args.frames + 1):
@@ -277,11 +295,12 @@ def cmd_progressive(args) -> int:
         )
         rec = codec.api.decode_image(partial, settings)[..., :h, :w]
         arr = (np.clip(rec, 0, 1) * 255).astype(np.uint8)
-        frames.append(
-            Image.fromarray(
-                np.moveaxis(arr, 0, -1) if c > 1 else arr[0]
-            )
+        frame = Image.fromarray(
+            np.moveaxis(arr, 0, -1) if c > 1 else arr[0]
         )
+        if getattr(args, "annotate", False):
+            frame = _annotate(frame, nb * 8 / (h * w))
+        frames.append(frame)
         if getattr(args, "coeff_out", None):
             # raw coefficient-array visualization, the reference's
             # second lane (make_gif.py:58-65): |coeffs| * 75 clipped
@@ -314,6 +333,25 @@ def cmd_progressive(args) -> int:
             loop=0,
         )
         print(f"wrote {args.coeff_out} (raw coefficient view)")
+    if getattr(args, "mp4", None):
+        # mp4 companion (reference make_gif.py:78-96; h264 has no
+        # encoder in this cv2 build, mp4v plays everywhere)
+        import cv2
+
+        fps = max(1000.0 / max(args.duration, 1), 1.0)
+        vw = cv2.VideoWriter(
+            args.mp4, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+            (frames[0].width, frames[0].height),
+        )
+        if not vw.isOpened():
+            print("error: cv2 VideoWriter failed to open mp4 output",
+                  file=sys.stderr)
+            return 2
+        for fr in frames:
+            rgb = np.asarray(fr.convert("RGB"))
+            vw.write(rgb[:, :, ::-1])  # BGR
+        vw.release()
+        print(f"wrote {args.mp4} ({len(frames)} frames @ {fps:.1f} fps)")
     return 0
 
 
@@ -359,6 +397,16 @@ def main(argv=None) -> int:
         "--coeff-out", default=None,
         help="also write the raw coefficient-array visualization GIF "
              "(|coeffs|*75, the reference make_gif.py's second lane)",
+    )
+    p2.add_argument(
+        "--annotate", action="store_true",
+        help="burn a 'BPP: x.xxxx' overlay into each frame "
+             "(reference make_gif.py:78)",
+    )
+    p2.add_argument(
+        "--mp4", default=None, metavar="OUT.mp4",
+        help="also write the animation as an mp4 (cv2 mp4v; "
+             "reference make_gif.py:78-96)",
     )
     _add_codec_args(p2)
     p2.set_defaults(fn=cmd_progressive)

@@ -74,6 +74,32 @@ def test_cli_progressive_gif(png, tmp_path):
     assert os.path.getsize(out) > 0
 
 
+def test_cli_progressive_annotate_mp4(png, tmp_path):
+    """The burned-in bpp overlay + mp4 companion (make_gif.py:43,78-96)."""
+    out = str(tmp_path / "p.gif")
+    mp4 = str(tmp_path / "p.mp4")
+    rc = cli.main(
+        ["progressive", png, out, "--frames", "3", "--backend",
+         "native", "--annotate", "--mp4", mp4]
+    )
+    assert rc == 0
+    assert os.path.getsize(out) > 0
+    assert os.path.getsize(mp4) > 0
+    # the overlay changed pixels vs the unannotated first frame
+    from PIL import Image
+
+    plain = str(tmp_path / "q.gif")
+    assert cli.main(
+        ["progressive", png, plain, "--frames", "3",
+         "--backend", "native"]
+    ) == 0
+    import numpy as np
+
+    a = np.asarray(Image.open(out).convert("RGB"))
+    b = np.asarray(Image.open(plain).convert("RGB"))
+    assert a.shape == b.shape and (a != b).any()
+
+
 def test_bits_per_plane_total(rng):
     settings = SpihtSettings()
     im = rng.random((1, 32, 32))
