@@ -1020,16 +1020,19 @@ def osa_ucs_from_xyz(im_cl, xp=np):
 def xyz_from_osa_ucs(im_cl, xp=np):
     L, j, g = im_cl[..., 0], im_cl[..., 1], im_cl[..., 2]
     lam = L * _OSA_SQ2 + 14.4
-    # Newton for Y0 (monotone; ~quadratic from a cube-law init)
-    Y0 = xp.maximum((lam / 5.9 + 2.0 / 3.0) ** 3, 1e-6)
-    for _ in range(40):
-        f = _osa_lambda(Y0, xp) - lam
-        t = xp.cbrt(xp.maximum(Y0, 1e-12))
-        df = 5.9 * (
-            1.0 / (3.0 * t * t)
-            + 0.042 / (3.0 * xp.maximum(xp.abs(Y0 - 30.0), 1e-6) ** (2.0 / 3.0))
-        )
-        Y0 = xp.maximum(Y0 - f / df, 1e-9)
+    # Y0 from lam by bisection: _osa_lambda is monotone but its
+    # 0.042*cbrt(Y0-30) term has infinite slope at Y0=30, where Newton
+    # stalls (measured: 40 iters left Y0 off by 0.28 near the kink —
+    # a 9e-3 round-trip error). 80 fixed halvings of [0, 1200] reach
+    # ~3e-22 and stay jittable.
+    lo = xp.zeros_like(lam)
+    hi = xp.full_like(lam, 1200.0)
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        below = _osa_lambda(mid, xp) < lam
+        lo = xp.where(below, mid, lo)
+        hi = xp.where(below, hi, mid)
+    Y0 = xp.maximum(0.5 * (lo + hi), 1e-9)
     denom = 5.9 * (xp.cbrt(Y0) - 2.0 / 3.0)
     C = lam / xp.where(xp.abs(denom) < 1e-9, 1e-9, denom)
     Csafe = xp.where(xp.abs(C) < 1e-9, 1e-9, C)

@@ -199,6 +199,22 @@ def test_osa_ucs_neutral_and_lightness_sign():
     assert L[0] < 0
 
 
+def test_osa_ucs_inverse_near_y0_kink():
+    """The 0.042*cbrt(Y0-30) term of the OSA lightness has infinite
+    slope at Y0=30; a Newton solve for Y0 stalls there (measured 9e-3
+    round-trip error before the bisection fix). Pin pixels whose Y0
+    lands on/near the kink plus a dense random sweep."""
+    # this exact pixel hit Y0=30.004 and failed at HEAD~ (err 9.1e-3)
+    kink_px = np.array([0.0282725, 0.2303600, 0.9209923])
+    rng = np.random.default_rng(1234)
+    im = rng.uniform(0.0, 1.0, size=(3, 16, 16))
+    im[:, 0, 0] = kink_px
+    # spread a gray ramp through the Y0~30 band (Y ~ 0.25-0.35)
+    im[:, 1, :] = np.linspace(0.22, 0.38, 16)[None, :]
+    back = cm.convert(cm.convert(im, "RGB", "osa ucs"), "osa ucs", "RGB")
+    assert np.abs(back - im).max() < 1e-9
+
+
 def test_cam16_variants_differ_only_in_luo_coefficients(rng):
     """LCD/SCD share CAM16 appearance correlates with UCS; the a'b'
     plane rescales by the c2 compression and J' by 1/KL."""
