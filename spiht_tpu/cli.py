@@ -202,6 +202,65 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Batch-encode many images to stream files on the production
+    batched lanes: backend 'device' sends same-shape groups through
+    `encode_images_device` (one fused XLA program per group; on TPU the
+    interleaved B-chain Pallas machines), anything else through
+    `encode_images` (the multithreaded native host pipeline). Mixed
+    shapes are grouped automatically; per-image bit budgets follow
+    --bpp at each image's own geometry."""
+    import os
+    from collections import defaultdict
+
+    if args.bpp <= 0:
+        print("error: --bpp must be > 0", file=sys.stderr)
+        return 2
+    _apply_backend(args)
+    settings = _settings_from_args(args)
+    os.makedirs(args.outdir, exist_ok=True)
+    loaded = []
+    for path in args.images:
+        try:
+            loaded.append((path, imload(path)))
+        except (FileNotFoundError, OSError) as e:
+            print(f"error: cannot read {path}: {e}", file=sys.stderr)
+            return 2
+    groups = defaultdict(list)
+    for i, (_, im) in enumerate(loaded):
+        groups[im.shape].append(i)
+    results = [None] * len(loaded)
+    t0 = time.perf_counter()
+    for shape, idxs in groups.items():
+        _, h, w = shape
+        level = args.level if args.level is not None else _auto_level(h, w)
+        ims = [loaded[i][1] for i in idxs]
+        mb = round(args.bpp * h * w)
+        if args.backend == "device":
+            ers = codec.api.encode_images_device(
+                ims, settings, level=level, max_bits=mb
+            )
+        else:
+            ers = codec.api.encode_images(
+                ims, settings, level=level, max_bits=mb
+            )
+        for i, er in zip(idxs, ers):
+            results[i] = er
+    t_enc = time.perf_counter() - t0
+    total_px = 0
+    for (path, im), er in zip(loaded, results):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.outdir, stem + ".spiht")
+        _write_stream(out_path, er)
+        total_px += im.shape[1] * im.shape[2]
+        print(f"{path} -> {out_path}: {len(er.encoded_bytes)} bytes "
+              f"({len(er.encoded_bytes)*8/(im.shape[1]*im.shape[2]):.4f} "
+              f"bpp)")
+    print(f"encoded {len(loaded)} images ({total_px/1e6:.2f} MP) in "
+          f"{t_enc*1e3:.1f} ms = {total_px/1e6/t_enc:.2f} MP/s aggregate")
+    return 0
+
+
 def cmd_plan(args) -> int:
     """Rate plan WITHOUT encoding: per-plane bit counts + budget cut."""
     import json
@@ -376,6 +435,15 @@ def main(argv=None) -> int:
     p5.add_argument("out")
     _add_codec_args(p5)
     p5.set_defaults(fn=cmd_decode)
+
+    p7 = sub.add_parser(
+        "batch", help="batch-encode many images to stream files"
+    )
+    p7.add_argument("images", nargs="+")
+    p7.add_argument("--outdir", required=True,
+                    help="directory for the .spiht stream files")
+    _add_codec_args(p7)
+    p7.set_defaults(fn=cmd_batch)
 
     p6 = sub.add_parser("plan", help="rate plan without encoding (JSON)")
     p6.add_argument("image")

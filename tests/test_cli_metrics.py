@@ -65,6 +65,49 @@ def test_cli_encode_decode_files(png, tmp_path, capsys):
     assert cli.main(["decode", str(bad), out]) == 2
 
 
+def test_cli_batch_encode(png, tmp_path, capsys, rng):
+    # second image with a DIFFERENT shape: groups must split and both
+    # stream files must decode with the standard decode command
+    png2 = str(tmp_path / "t2.png")
+    imsave(png2, rng.random((3, 48, 64)))
+    outdir = str(tmp_path / "streams")
+    rc = cli.main(
+        ["batch", png, png2, "--outdir", outdir, "--bpp", "1.0",
+         "--backend", "native"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MP/s aggregate" in out
+    for stem, hw in (("t", (64, 80)), ("t2", (48, 64))):
+        stream = os.path.join(outdir, stem + ".spiht")
+        assert os.path.getsize(stream) > 0
+        rec = str(tmp_path / f"rec_{stem}.png")
+        assert cli.main(["decode", stream, rec,
+                         "--backend", "native"]) == 0
+        assert os.path.exists(rec)
+    # batch streams match single-image encode byte-for-byte
+    single = str(tmp_path / "single.spiht")
+    assert cli.main(["encode", png, single, "--bpp", "1.0",
+                     "--backend", "native"]) == 0
+    with open(single, "rb") as f1, \
+            open(os.path.join(outdir, "t.spiht"), "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_batch_device_backend(png, tmp_path, capsys):
+    # 'device' backend: same-shape group through encode_images_device
+    # (on CPU this is the jitted XLA machine; bitstreams are identical)
+    outdir = str(tmp_path / "dstreams")
+    rc = cli.main(
+        ["batch", png, png, "--outdir", outdir, "--bpp", "0.5",
+         "--backend", "device"]
+    )
+    assert rc == 0
+    assert cli.main(["batch", png, "--outdir", outdir, "--bpp", "-2"]) == 2
+    assert cli.main(["batch", str(tmp_path / "missing.png"),
+                     "--outdir", outdir]) == 2
+
+
 def test_cli_progressive_gif(png, tmp_path):
     out = str(tmp_path / "p.gif")
     rc = cli.main(
