@@ -397,16 +397,69 @@ def _decode_pipeline_batch_jit(
         key, h, w, level, c, enc_h, enc_w, ll_h, ll_w, cap_words,
         dtype_name, as_uint8, machine=machine,
     )
-    if machine == "pallas":
-        # vmap cannot grid-batch the bit machine's SMEM operands;
-        # lax.map runs it per element inside ONE program
-        return jax.jit(
-            lambda ws, nb, mn: jax.lax.map(
+    if machine != "pallas":
+        return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0, 0)))
+
+    # Pallas route: the B-chain INTERLEAVED machine when a >=2-chain
+    # chunk fits VMEM (one kernel steps all chains per iteration —
+    # 24.9 MP/s kernel-side at the 512^2 headline vs ~2 MP/s for the
+    # serialized lax.map loop, BASELINE.md round 4), else the lax.map
+    # loop of single machines (vmap cannot grid-batch SMEM operands).
+    from .codec import pallas_decoder as pd
+
+    inv = _inverse_jit(key, h, w, level, dtype_name, as_uint8)
+    interp = jax.default_backend() == "cpu"
+
+    def _chunk_for(bb: int) -> int:
+        bc = min(pd._ilv_chunk_b(), bb)
+        while bc >= 1 and not pd.interleaved_fits(
+            bc, c, enc_h, enc_w, ll_h, ll_w, cap_words
+        ):
+            bc //= 2
+        return bc
+
+    @jax.jit
+    def f(ws, nb, mn):
+        B = ws.shape[0]
+        bc = _chunk_for(B)  # static: shapes are trace-time constants
+        if bc < 2:
+            return jax.lax.map(
                 lambda t: base.__wrapped__(t[0], t[1], t[2]),
                 (ws, nb, mn),
             )
-        )
-    return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0, 0)))
+        g, r = divmod(B, bc)
+        parts = []
+        if g:
+            dfn = pd._interleaved_fn(
+                bc, c, enc_h, enc_w, ll_h, ll_w, cap_words, interp,
+                "int32",
+            )
+            if g == 1:
+                parts.append(dfn.__wrapped__(ws[:bc], nb[:bc], mn[:bc]))
+            else:
+                recs = jax.lax.map(
+                    lambda t: dfn.__wrapped__(t[0], t[1], t[2]),
+                    (
+                        ws[: g * bc].reshape(g, bc, cap_words),
+                        nb[: g * bc].reshape(g, bc),
+                        mn[: g * bc].reshape(g, bc),
+                    ),
+                )
+                parts.append(
+                    recs.reshape(g * bc, c, enc_h, enc_w)
+                )
+        if r:
+            dfr = pd._interleaved_fn(
+                r, c, enc_h, enc_w, ll_h, ll_w, cap_words, interp,
+                "int32",
+            )
+            parts.append(
+                dfr.__wrapped__(ws[g * bc:], nb[g * bc:], mn[g * bc:])
+            )
+        recs = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return jax.vmap(inv.__wrapped__)(recs)
+
+    return f
 
 
 def decode_pipeline_batch_fn(
@@ -479,15 +532,96 @@ def _encode_pipeline_batch_jit(
 ):
     base = _encode_pipeline_jit(key, h, w, level, c, dtype_name,
                                 machine=machine, cap_bits=cap_bits)
-    if machine == "pallas":
-        # vmap cannot grid-batch the bit machine's SMEM operands;
-        # lax.map runs it per element inside ONE program
-        return jax.jit(
-            lambda ims, mbs: jax.lax.map(
+    if machine != "pallas":
+        return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0)))
+
+    # Pallas route: the COMPACT B-chain INTERLEAVED machine when a
+    # >=2-chain chunk fits VMEM (30.1 MP/s aggregate at the 512^2
+    # headline vs ~5 MP/s for the serialized lax.map loop, BASELINE.md
+    # round 4), else the lax.map loop of single machines (vmap cannot
+    # grid-batch SMEM operands). The compact layout packs |coeff| in 16
+    # bits, so chains with max_n > 15 raise their overflow flag and
+    # callers fall back per image (api.encode_images_device does).
+    from .codec import pallas_encoder as pe
+    from .codec.device_encoder import device_max_n
+
+    wavelet, qscale, mode, color_model, pcs = key
+    settings = SpihtSettings(
+        wavelet=wavelet,
+        quantization_scale=qscale,
+        mode=mode,
+        color_model=color_model,
+        per_channel_quant_scales=list(pcs) if pcs is not None else None,
+    )
+    slices, enc_h, enc_w = get_slices_and_h_w(h, w, settings, level)
+    ll_h, ll_w = slices[0][1].stop, slices[0][2].stop
+    cap_words = pe._cap_words_for(c, enc_h, enc_w, cap_bits)
+    ana = _forward_jit(key, level, False, dtype_name)
+    interp = jax.default_backend() == "cpu"
+
+    def _chunk_for(bb: int) -> int:
+        bc = min(pe._ilv_chunk_b(), bb)
+        while bc >= 1 and not pe.interleaved_fits(
+            bc, c, enc_h, enc_w, ll_h, ll_w, cap_words, compact=True
+        ):
+            bc //= 2
+        return bc
+
+    @jax.jit
+    def f(ims, mbs):
+        B = ims.shape[0]
+        bc = _chunk_for(B) if c <= 8 else 0  # static at trace time
+        if bc < 2:
+            return jax.lax.map(
                 lambda t: base.__wrapped__(t[0], t[1]), (ims, mbs)
             )
-        )
-    return jax.jit(jax.vmap(base.__wrapped__, in_axes=(0, 0)))
+        arrs = jax.vmap(ana.__wrapped__)(ims)
+        max_ns = jax.vmap(device_max_n)(arrs)
+        g, r = divmod(B, bc)
+        parts = []
+        if g:
+            efn = pe._interleaved_fn(
+                bc, c, enc_h, enc_w, ll_h, ll_w, cap_words, interp,
+                compact=True,
+            )
+            if g == 1:
+                parts.append(
+                    efn.__wrapped__(arrs[:bc], max_ns[:bc], mbs[:bc])
+                )
+            else:
+                wt = jax.lax.map(
+                    lambda t: efn.__wrapped__(t[0], t[1], t[2]),
+                    (
+                        arrs[: g * bc].reshape(g, bc, c, enc_h, enc_w),
+                        max_ns[: g * bc].reshape(g, bc),
+                        mbs[: g * bc].reshape(g, bc),
+                    ),
+                )
+                parts.append(
+                    tuple(
+                        x.reshape((g * bc,) + x.shape[2:]) for x in wt
+                    )
+                )
+        if r:
+            efr = pe._interleaved_fn(
+                r, c, enc_h, enc_w, ll_h, ll_w, cap_words, interp,
+                compact=True,
+            )
+            parts.append(
+                efr.__wrapped__(arrs[g * bc:], max_ns[g * bc:],
+                                mbs[g * bc:])
+            )
+        if len(parts) == 1:
+            words, totals, ovf = parts[0]
+        else:
+            words = jnp.concatenate([p[0] for p in parts])
+            totals = jnp.concatenate([p[1] for p in parts])
+            ovf = jnp.concatenate([p[2] for p in parts])
+        # compact-layout validity: 16-bit magnitude field
+        ovf = ovf | (max_ns > 15)
+        return words, totals, ovf, max_ns
+
+    return f
 
 
 def encode_pipeline_batch_fn(
