@@ -248,8 +248,15 @@ def cmd_batch(args) -> int:
             results[i] = er
     t_enc = time.perf_counter() - t0
     total_px = 0
+    # inputs from different directories can share a basename stem;
+    # disambiguate so nothing is silently overwritten in --outdir
+    seen: dict = {}
     for (path, im), er in zip(loaded, results):
         stem = os.path.splitext(os.path.basename(path))[0]
+        n_prior = seen.get(stem, 0)
+        seen[stem] = n_prior + 1
+        if n_prior:
+            stem = f"{stem}-{n_prior}"
         out_path = os.path.join(args.outdir, stem + ".spiht")
         _write_stream(out_path, er)
         total_px += im.shape[1] * im.shape[2]

@@ -2068,6 +2068,12 @@ def pallas_encode_batch(
         totals = np.concatenate(totals_l)
         ovf = np.concatenate(ovf_l)
     else:
+        if machine == "compact" and not mn_ok:
+            # the compact layout packs magnitudes into 16-bit halves;
+            # max_n > 15 would silently corrupt the stream
+            raise MachineResourceLimit(
+                f"max_n={int(mns.max(initial=0))} > 15 (compact)"
+            )
         if not machine_fits(c, h, w, ll_h, ll_w, cap_words,
                             compact=(machine == "compact")):
             raise MachineResourceLimit(f"{c}x{h}x{w}")

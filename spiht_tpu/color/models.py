@@ -1023,10 +1023,16 @@ def xyz_from_osa_ucs(im_cl, xp=np):
     # Y0 from lam by bisection: _osa_lambda is monotone but its
     # 0.042*cbrt(Y0-30) term has infinite slope at Y0=30, where Newton
     # stalls (measured: 40 iters left Y0 off by 0.28 near the kink —
-    # a 9e-3 round-trip error). 80 fixed halvings of [0, 1200] reach
-    # ~3e-22 and stay jittable.
+    # a 9e-3 round-trip error). 80 fixed halvings reach ~1e-21 relative
+    # and stay jittable. The bracket upper end covers the reflectance
+    # range (Y0 <= 1200, L up to ~33) and, for out-of-range L, widens
+    # elementwise to the analytic bound lam >= 5.9*(cbrt(Y0) - 2/3)
+    # (valid for Y0 >= 30) => Y0 <= (lam/5.9 + 2/3)^3.
     lo = xp.zeros_like(lam)
-    hi = xp.full_like(lam, 1200.0)
+    hi = xp.maximum(
+        xp.full_like(lam, 1200.0),
+        (xp.maximum(lam, 0.0) / 5.9 + 2.0 / 3.0) ** 3 + 1.0,
+    )
     for _ in range(80):
         mid = 0.5 * (lo + hi)
         below = _osa_lambda(mid, xp) < lam

@@ -94,6 +94,22 @@ def test_cli_batch_encode(png, tmp_path, capsys, rng):
         assert f1.read() == f2.read()
 
 
+def test_cli_batch_stem_collision(png, tmp_path, capsys, rng):
+    # inputs from different directories sharing a basename must not
+    # silently overwrite each other in --outdir
+    sub = tmp_path / "other"
+    sub.mkdir()
+    png2 = str(sub / os.path.basename(png))
+    imsave(png2, rng.random((3, 64, 80)))
+    outdir = str(tmp_path / "collide")
+    rc = cli.main(["batch", png, png2, "--outdir", outdir, "--bpp", "0.5",
+                   "--backend", "native"])
+    assert rc == 0
+    names = sorted(os.listdir(outdir))
+    assert names == ["t-1.spiht", "t.spiht"]
+    assert all(os.path.getsize(os.path.join(outdir, n)) > 0 for n in names)
+
+
 def test_cli_batch_device_backend(png, tmp_path, capsys):
     # 'device' backend: same-shape group through encode_images_device
     # (on CPU this is the jitted XLA machine; bitstreams are identical)

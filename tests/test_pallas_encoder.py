@@ -5,6 +5,8 @@ streams including mid-symbol max_bits cuts, on CPU via interpret mode
 Reference semantics: /root/reference/src/encoder_decoder.rs:155-303.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -178,6 +180,16 @@ def test_interleaved_compact_requires_small_magnitudes(rng):
     arrs[:, 0, 3, 5] = 2**22  # max_n = 22 > 15
     with pytest.raises(MachineResourceLimit):
         _ilv_batch(arrs, (4, 4), 2**31 - 2, machine="compact")
+    # the non-interleaved (lax.map) route must refuse too, not emit
+    # silently corrupt streams via the 16-bit compact layout
+    os.environ["SPIHT_TPU_PALLAS_ENC_BATCH"] = "map"
+    try:
+        with pytest.raises(MachineResourceLimit):
+            from spiht_tpu.codec.pallas_encoder import pallas_encode_batch
+
+            pallas_encode_batch(arrs, 4, 4, 2**31 - 2, machine="compact")
+    finally:
+        os.environ.pop("SPIHT_TPU_PALLAS_ENC_BATCH", None)
 
 
 def test_interleaved_vmem_accounting():

@@ -4,8 +4,10 @@ machine='pallas' — one XLA program per direction: B images -> B streams
 / B streams -> B images, analysis/synthesis fused with the compact ILV
 bit machines).
 
-Bit-exactness asserted per lane against the native kernel; timing
-materializes outputs (np.asarray).
+Bit-exactness asserted (hard assert) for the first 4 lanes against the
+single-image fused pipeline (itself validated bit-exact vs the host
+path in tests/test_pallas_pipelines.py); timing materializes outputs
+(np.asarray).
 
 Run: python tools/bench_batch_pipeline.py [B] [HxW] [level] [bpp]
 """
@@ -106,6 +108,7 @@ def main():
     print(f"encode pipeline B={B} @{bpp}bpp: median {med*1e3:.0f} ms = "
           f"{mpps:.2f} MP/s aggregate (images->streams materialized), "
           f"exact={exact}; times {[round(t*1e3) for t in ts]}", flush=True)
+    assert exact, "encode pipeline lanes diverged from the single-image path"
 
     # ---- decode direction ----
     cap = int(wds_h.shape[1])
@@ -142,6 +145,7 @@ def main():
           f"{mppsd:.2f} MP/s aggregate (streams->images materialized, "
           f"uint8), exact={dexact}; times {[round(t*1e3) for t in ts]}",
           flush=True)
+    assert dexact, "decode pipeline lanes diverged from the single-image path"
 
 
 if __name__ == "__main__":
