@@ -163,11 +163,19 @@ def main() -> None:
     if os.environ.get("SPIHT_BENCH_DEVICE", "1") == "1":
         import subprocess
 
-        budget = int(os.environ.get("SPIHT_BENCH_DEVICE_BUDGET", "150"))
+        budget = int(os.environ.get("SPIHT_BENCH_DEVICE_BUDGET", "270"))
+        # fast=1: production Pallas lanes + fused pipelines only — every
+        # key exported below — so a HEAD refresh costs seconds on a warm
+        # persistent compile cache instead of hitting the legacy XLA
+        # lanes' minutes-long remote compiles (the round-4 staleness
+        # failure mode). SPIHT_BENCH_DEVICE_FULL=1 restores all lanes.
+        lane_args = [] if os.environ.get(
+            "SPIHT_BENCH_DEVICE_FULL"
+        ) == "1" else ["fast=1"]
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "spiht_tpu.codec.device_bench",
-                 f"{H}x{W}", str(LEVEL), str(BPP)],
+                 f"{H}x{W}", str(LEVEL), str(BPP)] + lane_args,
                 capture_output=True, text=True, timeout=budget,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -204,12 +212,17 @@ def main() -> None:
                 log(f"device lane (cached, commit "
                     f"{device.get('commit')}): {device}")
                 if device["commit_distance"] != 0:
+                    log("=" * 70)
                     log(
-                        "WARNING: device-lane cache is STALE — measured "
+                        "ERROR: device-lane cache is STALE — measured "
                         f"{device['commit_distance']} commit(s) behind "
-                        "HEAD. Refresh with: python -m "
-                        "spiht_tpu.codec.device_bench 512x512 6 1.0"
+                        "HEAD. These device_* numbers DO NOT describe "
+                        "this commit. Refresh (seconds on a warm "
+                        "compile cache) with: python -m "
+                        "spiht_tpu.codec.device_bench 512x512 6 1.0 "
+                        "fast=1"
                     )
+                    log("=" * 70)
             except Exception:
                 pass
 
@@ -244,12 +257,23 @@ def main() -> None:
         for k in (f"ms_enc_pipeline_{BPP}bpp", f"ms_pipeline_{BPP}bpp"):
             if device.get(k) is not None:
                 result[f"device_{k}{suffix}"] = device[k]
+        # the three-rate transfer keys (kernel / materialized /
+        # modeled_host) for the d2h-bound lanes — see device_bench
+        # module docstring for the methodology
+        for k, v in device.items():
+            if k.endswith(("_kernel", "_materialized", "_modeled_host")):
+                result[f"device_{k}{suffix}"] = v
         result["device_encode_geom"] = device.get("geom")
         result["device_encode_backend"] = device.get("backend")
         if suffix:
             result["device_encode_commit"] = device.get("commit")
             result["device_cache_commit_distance"] = device.get(
                 "commit_distance"
+            )
+            # loud in the artifact, not just stderr: stale device keys
+            # do not describe HEAD
+            result["device_cache_stale"] = (
+                device.get("commit_distance") != 0
             )
     print(json.dumps(result))
 

@@ -1,11 +1,28 @@
 """Device-encoder benchmark lane: full on-device bitstream MP/s.
 
-Run as `python -m spiht_tpu.codec.device_bench [HxW [level [bpp]]]`;
-prints ONE json line with the measured rates at the headline geometry
-(3x512x512, level 6 — the config BASELINE.md tracks). Meant to be
-invoked by bench.py as a budgeted subprocess (remote compiles through
-the dev tunnel take minutes on first run; the persistent jax
-compilation cache makes reruns take seconds).
+Run as `python -m spiht_tpu.codec.device_bench [HxW [level [bpp]]]
+[fast=1] [batch=B] [ebatch=B]`; prints ONE json line with the measured
+rates at the headline geometry (3x512x512, level 6 — the config
+BASELINE.md tracks). Meant to be invoked by bench.py as a budgeted
+subprocess (remote compiles through the dev tunnel take minutes on
+first run; the persistent jax compilation cache makes reruns take
+seconds).
+
+`fast=1` (what bench.py passes) runs only the production Pallas lanes
+and the fused pipelines — the legacy XLA formulations (enc_sorted,
+dec_hybrid) compile in minutes and run 10-20x slower, and bench.py
+never exports their keys; skipping them makes a HEAD refresh cost
+seconds on a warm compile cache instead of blowing the driver budget
+(the round-4 staleness failure mode).
+
+Transfer-bound lanes report three keys (VERDICT r4 item 5):
+  *_materialized — wall time including d2h over this dev tunnel
+                   (~20 MB/s, an environment artifact, NOT a device
+                   property),
+  *_kernel       — device-only rate (result reduced to a checksum on
+                   device, nothing ships),
+  *_modeled_host — kernel time + bytes/(2 GB/s), the materialized rate
+                   a real TPU host's PCIe d2h would see.
 """
 
 from __future__ import annotations
@@ -40,6 +57,7 @@ def main() -> None:
     h_in, w_in = (int(v) for v in hw.split("x"))
     level = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     bpp = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    fast = any(a == "fast=1" for a in sys.argv[4:])
 
     rng = np.random.default_rng(1234)
     yy, xx = np.mgrid[0:h_in, 0:w_in].astype(np.float64)
@@ -74,11 +92,16 @@ def main() -> None:
                   lambda mb: encode_device_fn(c, h, w, llh, llw))]
     if on_tpu:
         from spiht_tpu.codec.pallas_encoder import (
-            _cap_words_for, pallas_encode_fn,
+            _cap_words_for, pallas_encode_fn, preferred_machine,
         )
 
         enc_lanes.insert(0, ("", lambda mb: pallas_encode_fn(
-            c, h, w, llh, llw, _cap_words_for(c, h, w, mb))))
+            c, h, w, llh, llw, _cap_words_for(c, h, w, mb),
+            machine=preferred_machine(
+                c, h, w, llh, llw, _cap_words_for(c, h, w, mb), mn
+            ))))
+        if fast:
+            enc_lanes = enc_lanes[:1]
     else:
         enc_lanes[0] = ("", enc_lanes[0][1])
     for tag, mb in (
@@ -136,6 +159,7 @@ def main() -> None:
         want_rec = nat.decode(data, dmn, c, h, w, llh, llw)
         lanes = [("dec_hybrid",
                   decode_device_fn(c, h, w, llh, llw, cap_words))]
+        od = "int32"
         if on_tpu:
             from spiht_tpu.codec.pallas_decoder import pallas_decode_fn
 
@@ -146,6 +170,8 @@ def main() -> None:
                 0, ("dec", pallas_decode_fn(c, h, w, llh, llw, cap_words,
                                             out_dtype=od))
             )
+            if fast:
+                lanes = lanes[:1]
         else:
             lanes[0] = ("dec", lanes[0][1])
         jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
@@ -162,10 +188,20 @@ def main() -> None:
             mpps = c * h * w / 1e6 / med
             exact = bool(np.array_equal(rec, want_rec))
             log(f"decode[{lane}] {tag}: first {compile_s:.1f}s, median "
-                f"{med*1e3:.0f} ms = {mpps:.2f} MP/s, exact={exact}")
+                f"{med*1e3:.0f} ms = {mpps:.2f} MP/s (materialized), "
+                f"exact={exact}")
             out[f"mpps_{lane}_{tag}"] = round(mpps, 3)
             out[f"ms_{lane}_{tag}"] = round(med * 1e3, 1)
             out[f"exact_{lane}_{tag}"] = exact
+            if lane != "dec" or not on_tpu:
+                continue
+            # kernel-side + modeled-real-host rates: the materialized
+            # figure above is d2h-bound on this ~20 MB/s dev tunnel
+            kmed = _kernel_rate(jax, jnp, np, dfn, (jw, nbits, dmn))
+            nbytes = c * h * w * (2 if od == "int16" else 4)
+            _emit_transfer_keys(
+                out, f"{lane}_{tag}", c * h * w, kmed, nbytes, med
+            )
 
     # ---- fused encode pipeline lane: image -> stream, one program;
     # exactness vs native encode of the device-quantized (f32) array
@@ -179,13 +215,13 @@ def main() -> None:
         jim = jax.device_put(jnp.asarray(im, jnp.float32))
         t0 = time.perf_counter()
         ewords, etotal, eovf, emn = efn(jim, mb)
-        jax.block_until_ready(ewords)
+        ewords_h = np.asarray(ewords)
         compile_s = time.perf_counter() - t0
         ts = []
         for _ in range(3):
             t1 = time.perf_counter()
             ewords, etotal, eovf, emn = efn(jim, mb)
-            jax.block_until_ready(ewords)
+            ewords_h = np.asarray(ewords)
             ts.append(time.perf_counter() - t1)
         med = sorted(ts)[1]
         # ground truth: native encode of the SAME f32-quantized array
@@ -203,9 +239,15 @@ def main() -> None:
             and got == want
         )
         log(f"encode pipeline {bpp}bpp image->stream: first "
-            f"{compile_s:.1f}s, median {med*1e3:.0f} ms, exact={exact}")
+            f"{compile_s:.1f}s, median {med*1e3:.0f} ms (materialized), "
+            f"exact={exact}")
         out[f"ms_enc_pipeline_{bpp}bpp"] = round(med * 1e3, 1)
         out[f"exact_enc_pipeline_{bpp}bpp"] = exact
+        kmed = _kernel_rate(jax, jnp, np, efn, (jim, mb))
+        _emit_transfer_keys(
+            out, f"enc_pipeline_{bpp}bpp", c * h * w, kmed,
+            ewords_h.nbytes, med,
+        )
     except Exception as exc:
         log(f"encode pipeline lane failed: {type(exc).__name__}: {exc}")
 
@@ -224,19 +266,22 @@ def main() -> None:
         )
         jw = jax.device_put(jnp.asarray(_words_of(data, cap_words)))
         t0 = time.perf_counter()
-        img = pfn(jw, nbits, dmn)
-        jax.block_until_ready(img)
+        img_h = np.asarray(pfn(jw, nbits, dmn))
         compile_s = time.perf_counter() - t0
         ts = []
         for _ in range(3):
             t1 = time.perf_counter()
-            img = pfn(jw, nbits, dmn)
-            jax.block_until_ready(img)
+            img_h = np.asarray(pfn(jw, nbits, dmn))
             ts.append(time.perf_counter() - t1)
         med = sorted(ts)[1]
         log(f"decode pipeline {bpp}bpp -> uint8 image: first "
-            f"{compile_s:.1f}s, median {med*1e3:.0f} ms")
+            f"{compile_s:.1f}s, median {med*1e3:.0f} ms (materialized)")
         out[f"ms_pipeline_{bpp}bpp"] = round(med * 1e3, 1)
+        kmed = _kernel_rate(jax, jnp, np, pfn, (jw, nbits, dmn))
+        _emit_transfer_keys(
+            out, f"dec_pipeline_{bpp}bpp", c * h * w, kmed,
+            img_h.nbytes, med,
+        )
     except Exception as exc:
         log(f"pipeline lane failed: {type(exc).__name__}: {exc}")
 
@@ -281,8 +326,47 @@ def main() -> None:
             log(f"interleaved lane failed: {type(exc).__name__}: {exc}")
     # only the headline config refreshes the bench.py fallback cache
     if (h_in, w_in, level) == (512, 512, 6):
-        _persist(out)
+        _persist(out, fast=fast)
     print(json.dumps(out))
+
+
+def _kernel_rate(jax, jnp, np, fn, args):
+    """Median device-only time: reduce fn's (first) output to a scalar
+    checksum on device so only 4 bytes ship. Materializing the scalar
+    (np.asarray) is required on the tunnel — block_until_ready can
+    return before execution completes."""
+    import time
+
+    inner = getattr(fn, "__wrapped__", fn)
+
+    @jax.jit
+    def ksum(*a):
+        r = inner(*a)
+        r = r[0] if isinstance(r, tuple) else r
+        return jnp.sum(r.astype(jnp.int32))
+
+    np.asarray(ksum(*args))
+    ts = []
+    for _ in range(3):
+        t1 = time.perf_counter()
+        np.asarray(ksum(*args))
+        ts.append(time.perf_counter() - t1)
+    return sorted(ts)[1]
+
+
+def _emit_transfer_keys(out, key, px, kernel_s, nbytes, mat_s=None):
+    """The three-rate report for transfer-bound lanes (module docstring):
+    kernel-only, tunnel-materialized, and modeled real-host (PCIe d2h
+    ~2 GB/s on production TPU hosts)."""
+    out[f"mpps_{key}_kernel"] = round(px / 1e6 / kernel_s, 3)
+    model_s = kernel_s + nbytes / 2e9
+    out[f"mpps_{key}_modeled_host"] = round(px / 1e6 / model_s, 3)
+    if mat_s is not None:
+        out[f"mpps_{key}_materialized"] = round(px / 1e6 / mat_s, 3)
+    log(f"  {key}: kernel {kernel_s*1e3:.0f} ms = "
+        f"{out[f'mpps_{key}_kernel']:.2f} MP/s; modeled real-host "
+        f"(+{nbytes/2e9*1e3:.1f} ms PCIe) = "
+        f"{out[f'mpps_{key}_modeled_host']:.2f} MP/s")
 
 
 def _batch_lane(batch, bpp, h_in, w_in, im, settings, level, nat, c, h,
@@ -476,6 +560,11 @@ def _ilv_lane(B, bpp, h_in, w_in, im, settings, level, nat, c, h, w,
             f"exact={exact}")
         out[f"mpps_enc_ilv{B}"] = round(mpps, 3)
         out[f"exact_enc_ilv{B}"] = exact
+        kmed = _kernel_rate(jax, jnp, np, efn, (ja, jmn, jmb))
+        _emit_transfer_keys(
+            out, f"enc_ilv{B}", B * c * h * w, kmed,
+            B * cap_words * 4, med,
+        )
 
     # ---- decode ----
     datas = [wants[b][0] for b in range(B)]
@@ -514,33 +603,24 @@ def _ilv_lane(B, bpp, h_in, w_in, im, settings, level, nat, c, h, w,
         out[f"mpps_dec_ilv{B}"] = round(mpps, 3)
         out[f"exact_dec_ilv{B}"] = exact
 
-        # kernel-side rate (device checksum, nothing ships): the
-        # materialized figure is d2h-bound on the ~20 MB/s tunnel
-        @jax.jit
-        def ksum(wv, nv, mv):
-            return jnp.sum(
-                dfn.__wrapped__(wv, nv, mv).astype(jnp.int32)
-            )
-
-        np.asarray(ksum(jw, jn, jm))
-        ts = []
-        for _ in range(3):
-            t1 = time.perf_counter()
-            np.asarray(ksum(jw, jn, jm))
-            ts.append(time.perf_counter() - t1)
-        kmed = sorted(ts)[1]
-        out[f"mpps_dec_ilv{B}_kernel"] = round(
-            B * c * h * w / 1e6 / kmed, 3
+        kmed = _kernel_rate(jax, jnp, np, dfn, (jw, jn, jm))
+        nbytes = B * c * h * w * (2 if od == "int16" else 4)
+        _emit_transfer_keys(
+            out, f"dec_ilv{B}", B * c * h * w, kmed, nbytes, med
         )
-        log(f"decode ilv B={B} kernel-only: median {kmed*1e3:.0f} ms "
-            f"= {out[f'mpps_dec_ilv{B}_kernel']:.2f} MP/s")
 
 
-def _persist(out):
+def _persist(out, fast=False):
     """Record for bench.py: on tunneled dev chips the first remote
     compile (~400 s) rarely fits the driver's benchmark window, so the
     last successful hardware measurement is reported (clearly labeled
-    with the commit it was measured at)."""
+    with the commit it was measured at).
+
+    A fast-lane run MERGES into the existing cache: it re-measures every
+    key bench.py exports (the production Pallas lanes + fused
+    pipelines) and keeps the legacy-lane keys (enc_sorted/dec_hybrid,
+    not exported) from the last full run, noting their provenance in
+    ``legacy_commit``."""
     import json
 
     try:
@@ -551,8 +631,22 @@ def _persist(out):
             ["git", "rev-parse", "--short", "HEAD"], cwd=here,
             capture_output=True, text=True,
         ).stdout.strip()
+        path = f"{here}/.bench_device_cache.json"
+        if fast:
+            try:
+                with open(path) as f:
+                    prior = json.load(f)
+            except Exception:
+                prior = {}
+            if prior and prior.get("commit") != commit:
+                prior["legacy_commit"] = prior.get("commit")
+            prior.pop("commit", None)
+            prior.pop("cached", None)
+            prior.pop("commit_distance", None)
+            prior.update(out)
+            out = prior
         out["commit"] = commit
-        with open(f"{here}/.bench_device_cache.json", "w") as f:
+        with open(path, "w") as f:
             json.dump(out, f)
     except Exception as e:
         log(f"cache write failed: {e}")

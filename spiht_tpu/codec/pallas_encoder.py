@@ -123,6 +123,37 @@ def machine_fits(
     )
 
 
+def preferred_machine(
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    max_n: int,
+) -> str:
+    """Data-backed single-image machine choice (round-5 hardware sweep,
+    BASELINE.md; tools/sweep_compact_default.py).
+
+    compact when the bit budget is BOUNDED (cap_words below the
+    geometry's full-stream bound) and the data is valid for it
+    (max_n <= 15, c <= 8) — measured +3-19%% at 0.25-1.0 bpp across
+    277^2/537^2/1049^2 — or when the standard machine's state does not
+    fit VMEM (compact admits 1049^2 full streams and 2048^2 bounded
+    budgets). hybrid (standard) at full-stream budgets where it fits:
+    the full-budget cells were mixed (+27%% at 277^2, -17%% at 537^2)
+    and the headline full-stream lane measured faster on hybrid.
+
+    Raises MachineResourceLimit when neither machine admits the
+    geometry (callers fall back to the XLA formulations).
+    """
+    full_cap = _cap_words_for(c, h, w, 2**31 - 2)
+    hybrid_ok = machine_fits(c, h, w, ll_h, ll_w, cap_words)
+    compact_ok = max_n <= 15 and machine_fits(
+        c, h, w, ll_h, ll_w, cap_words, compact=True
+    )
+    if compact_ok and (cap_words < full_cap or not hybrid_ok):
+        return "compact"
+    if hybrid_ok:
+        return "hybrid"
+    raise MachineResourceLimit(f"{c}x{h}x{w}")
+
+
 def pallas_encode_fn(
     c: int,
     h: int,
@@ -2103,11 +2134,12 @@ def pallas_encode(
 ):
     """(bytes, max_n) via the Pallas emission machine.
 
-    Auto-routing: the standard hybrid when its 3-table state fits VMEM;
-    else the compact machine (1 combo table) when max_n <= 15 — which
-    admits 2048^2-class geometries at bounded bit budgets and 1024^2
-    full streams; else MachineResourceLimit (callers fall back to the
-    XLA formulations)."""
+    Auto-routing via preferred_machine (round-5 sweep, BASELINE.md):
+    compact at bounded budgets / when only it fits (admits 2048^2-class
+    geometries at bounded bit budgets and 1049^2 full streams), the
+    standard hybrid at full-stream budgets where it fits;
+    MachineResourceLimit when neither admits the geometry (callers fall
+    back to the XLA formulations)."""
     from .oracle import compute_max_n
 
     arr = np.ascontiguousarray(arr, dtype=np.int32)
@@ -2116,13 +2148,7 @@ def pallas_encode(
     cap_words = _cap_words_for(c, h, w, max_bits)
     mn = compute_max_n(arr)
     if machine is None and "SPIHT_TPU_PALLAS_ENC_MACHINE" not in os.environ:
-        if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
-            if mn <= 15 and machine_fits(
-                c, h, w, ll_h, ll_w, cap_words, compact=True
-            ):
-                machine = "compact"
-            else:
-                raise MachineResourceLimit(f"{c}x{h}x{w}")
+        machine = preferred_machine(c, h, w, ll_h, ll_w, cap_words, mn)
     else:
         m = machine or os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE")
         if m == "compact" and mn > 15:

@@ -5,6 +5,13 @@ full pipeline (f64 DWT + quantize + SPIHT scheduling) was verified
 bit-exact against the independent oracle. Any change to these hashes
 means the wire format moved — that is a breaking change, not a refactor.
 
+The oracle itself is no longer the sole provenance anchor: as of round
+5 its scheduling is byte-checked against the reference's own runnable
+python codec on shared coefficient arrays
+(tests/test_reference_crosscheck.py; BASELINE.md round-5 section), so
+these digests chain to reference-derived bytes, not only to the
+SURVEY.md transcription.
+
 (Golden data is generated, not vendored: the input images are synthetic
 and seeded, so the fixtures are the digests themselves.)
 """
