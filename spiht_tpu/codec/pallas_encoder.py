@@ -81,7 +81,7 @@ _VMEM_BUDGET_BYTES = 128 << 20
 
 def machine_vmem_bytes(
     c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
-    compact: bool = False,
+    compact: bool = False, t1_hbm: bool = False,
 ) -> int:
     """Exact VMEM bytes the hybrid machine requests for this geometry
     (mirrors ``_hybrid_fn``'s table/queue layout with budget-narrowed
@@ -98,8 +98,12 @@ def machine_vmem_bytes(
     li_rows = _rows(max(qb.n_lip0, 1))
     ls_rows = _rows(max(qb.n_lis0, 1))
     n_tables = 1 if compact else 3
+    # t1_hbm (compact only): the combo table stays HBM-resident and the
+    # fire body DMAs 2-row windows into a 4-row scratch — the N-sized
+    # term leaves VMEM entirely (spike_hbm_table.py round-5 data)
+    table_rows = 4 if t1_hbm else n_tables * _rows(N)
     return 4 * LANES * (
-        n_tables * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        table_rows + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap)
         + _rows(cap_words) + li_rows + 2 * ls_rows + 256
     )
@@ -107,18 +111,28 @@ def machine_vmem_bytes(
 
 def machine_fits(
     c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
-    compact: bool = False,
+    compact: bool = False, t1_hbm: bool = False,
 ) -> bool:
     """Whether the bit machine's state fits the VMEM budget.  With
     ``compact=True``, answers for the one-combo-table machine (only
     valid when max_n <= 15 and c <= 8 — the CALLER checks max_n, which
-    is a property of the data, not the geometry)."""
-    if c * h * w >= 1 << 24:  # packed-entry representation bound
+    is a property of the data, not the geometry).  ``t1_hbm`` keeps the
+    combo table HBM-resident (compact only) — 4096^2-class admission."""
+    # Packed-entry representation bound for the HYBRID machine family:
+    # LIS entry words carry first-child indices scaled by up to
+    # (c+1)*h*w << 1 (compact append rule 2*ch - cix*h*w, then <<1|1),
+    # so int32 entries are exact while c*h*w < 2^28. The seq and
+    # interleaved machines keep their own tighter 2^24 guards.
+    # Validated bit-exact past 2^24 on hardware (BASELINE.md round 5).
+    if c * h * w >= 1 << 28:
         return False
     if compact and c > 8:
         return False
+    if t1_hbm and not compact:
+        return False
     return (
-        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words, compact)
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words, compact,
+                           t1_hbm)
         <= _VMEM_BUDGET_BYTES
     )
 
@@ -151,6 +165,14 @@ def preferred_machine(
         return "compact"
     if hybrid_ok:
         return "hybrid"
+    # last resort before the XLA fallback: the combo table moves to HBM
+    # (per-fire 2-row DMA windows; spike_hbm_table.py measured ~1 us
+    # per dependent access, flat to 256 MB) — admits 4096^2-class
+    # geometries at bounded budgets
+    if max_n <= 15 and machine_fits(
+        c, h, w, ll_h, ll_w, cap_words, compact=True, t1_hbm=True
+    ):
+        return "compact_hbm"
     raise MachineResourceLimit(f"{c}x{h}x{w}")
 
 
@@ -180,6 +202,11 @@ def pallas_encode_fn(
     if machine == "compact":
         return _hybrid_fn(
             c, h, w, ll_h, ll_w, cap_words, interpret, compact=True
+        )
+    if machine == "compact_hbm":
+        return _hybrid_fn(
+            c, h, w, ll_h, ll_w, cap_words, interpret, compact=True,
+            t1_hbm=True,
         )
     return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret)
 
@@ -519,6 +546,7 @@ def _hybrid_fn(
     cap_words: int,
     interpret: bool = False,
     compact: bool = False,
+    t1_hbm: bool = False,
 ):
     """Hybrid vector/sequential emission machine (the production one).
 
@@ -569,15 +597,32 @@ def _hybrid_fn(
     the appended LIS value), cutting state from 3 to 1 N-table so
     2048^2-class geometries fit VMEM at bounded bit budgets.
 
+    T1_HBM mode (``t1_hbm=True``, compact only): the combo table stays
+    HBM-RESIDENT; the fire body DMAs the two 2-row windows covering the
+    4 children (rows of c0 and c0+w, both copies in flight together —
+    `pltpu.make_async_copy`) into a 4-row VMEM scratch and extracts
+    each child's word from the window. All other state (queues, words)
+    keeps its monotone-window VMEM access. Removes the 4N-byte table
+    from VMEM, admitting 4096^2-class geometries at bounded budgets
+    (tools/spike_hbm_table.py: ~1 us per dependent DMA access, flat to
+    256 MB tables — BASELINE.md round 5).
+
     Bit-for-bit semantics: /root/reference/src/encoder_decoder.rs:155-303.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if c * h * w >= 1 << 24:
+    # see machine_fits: the hybrid family's true packed-entry bound
+    if c * h * w >= 1 << 28:
         raise ValueError("geometry too large for packed queue entries")
     if compact and c > 8:
         raise ValueError("compact machine packs cix in 3 bits (c <= 8)")
+    if t1_hbm and not compact:
+        raise ValueError("t1_hbm is a compact-machine mode")
+    if t1_hbm and _rows(c * h * w) < 2:
+        # the 2-row DMA windows need a >=2-row table; geometries this
+        # small always fit the VMEM machine
+        raise ValueError("t1_hbm needs a >= 2-row combo table")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
     # budget-narrowed capacities (safe for any <= cap_words*32-bit
@@ -629,7 +674,7 @@ def _hybrid_fn(
     lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
 
     vmem_bytes = machine_vmem_bytes(
-        c, h, w, ll_h, ll_w, cap_words, compact=compact
+        c, h, w, ll_h, ll_w, cap_words, compact=compact, t1_hbm=t1_hbm
     )
 
     # LIS value-word field offsets (combo vs t1 layouts)
@@ -642,7 +687,13 @@ def _hybrid_fn(
     # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
     def kernel(*refs):
-        if compact:
+        tsc_ref = tsem_ref = None
+        if compact and t1_hbm:
+            (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref, tsc_ref, tsem_ref) = refs
+            t3s_ref = geo_ref = None
+        elif compact:
             (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
              sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
              lsp_ref) = refs
@@ -951,10 +1002,53 @@ def _hybrid_fn(
                     ccs = []
                     csum = jnp.zeros((), _I32)
                     isumk = jnp.zeros((), _I32)
+                    if t1_hbm:
+                        # HBM combo table: fetch the two 2-row windows
+                        # covering children {c0, c0+1} and
+                        # {c0+w, c0+w+1}; both DMAs in flight together
+                        # (dependent-access latency measured ~1 us,
+                        # spike_hbm_table.py). Real fires never clip
+                        # (children of an hc node are in-bounds); the
+                        # clipped rows only serve inert lanes.
+                        r0a = jnp.clip(
+                            jnp.clip(c0, 0, N - 1) // LANES,
+                            0, T_ROWS - 2,
+                        )
+                        r0b = jnp.clip(
+                            jnp.clip(c0 + w, 0, N - 1) // LANES,
+                            0, T_ROWS - 2,
+                        )
+                        cp_a = pltpu.make_async_copy(
+                            t1_ref.at[pl.ds(r0a, 2), :],
+                            tsc_ref.at[pl.ds(0, 2), :],
+                            tsem_ref.at[0],
+                        )
+                        cp_b = pltpu.make_async_copy(
+                            t1_ref.at[pl.ds(r0b, 2), :],
+                            tsc_ref.at[pl.ds(2, 2), :],
+                            tsem_ref.at[1],
+                        )
+                        cp_a.start()
+                        cp_b.start()
+                        cp_a.wait()
+                        cp_b.wait()
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
                         if compact:
-                            cc = rd(t1_ref, ch, N)
+                            if t1_hbm:
+                                base = r0a if k < 2 else r0b
+                                srow = 0 if k < 2 else 2
+                                idx = jnp.clip(
+                                    ch - base * LANES, 0, 2 * LANES - 1
+                                )
+                                cc = ext(
+                                    tsc_ref[
+                                        pl.ds(srow + idx // LANES, 1), :
+                                    ],
+                                    idx % LANES,
+                                )
+                            else:
+                                cc = rd(t1_ref, ch, N)
                             ccs.append((ch, cc))
                             cmag = cc & 0xFFFF
                             cnneg = (
@@ -1081,13 +1175,20 @@ def _hybrid_fn(
 
     params = {}
     if not interpret:
+        # t1_hbm frees the N-table from VMEM; its remaining state can
+        # legitimately use more of the 128 MB chip VMEM than the
+        # all-resident machines' 110 MB ceiling
+        cap_mb = 121 if t1_hbm else 110
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(vmem_bytes + (8 << 20), 24 << 20), 110 << 20
+                max(vmem_bytes + (8 << 20), 24 << 20), cap_mb << 20
             )
         )
 
     n_tables = 1 if compact else 3
+    t1_space = (
+        pltpu.MemorySpace.HBM if t1_hbm else pltpu.VMEM
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=[
@@ -1095,9 +1196,10 @@ def _hybrid_fn(
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         ],
         in_specs=[
-            # compact: one combo table; else T1 levels+flags, T3s
-            # sign|mag, child0
-            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tables),
+            # compact: one combo table (HBM-resident in t1_hbm mode);
+            # else T1 levels+flags, T3s sign|mag, child0
+            pl.BlockSpec(memory_space=t1_space),
+            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_tables - 1)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init payload
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init entries
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init values
@@ -1112,6 +1214,8 @@ def _hybrid_fn(
             pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
             pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
             pltpu.VMEM((LSP_ROWS, LANES), jnp.int32),
+            *([pltpu.VMEM((4, LANES), jnp.int32),
+               pltpu.SemaphoreType.DMA((2,))] if t1_hbm else []),
         ],
         interpret=interpret,
         **params,
@@ -2151,10 +2255,12 @@ def pallas_encode(
         machine = preferred_machine(c, h, w, ll_h, ll_w, cap_words, mn)
     else:
         m = machine or os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE")
-        if m == "compact" and mn > 15:
+        if m in ("compact", "compact_hbm") and mn > 15:
             raise MachineResourceLimit(f"max_n={mn} > 15 (compact)")
         if not machine_fits(
-            c, h, w, ll_h, ll_w, cap_words, compact=(m == "compact")
+            c, h, w, ll_h, ll_w, cap_words,
+            compact=m in ("compact", "compact_hbm"),
+            t1_hbm=(m == "compact_hbm"),
         ):
             raise MachineResourceLimit(f"{c}x{h}x{w}")
     fn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words, interpret, machine)

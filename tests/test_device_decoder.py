@@ -156,6 +156,7 @@ def test_device_decoder_batch(rng):
         np.testing.assert_array_equal(recs[b], want, err_msg=str(b))
 
 
+@pytest.mark.slow
 def test_device_decoder_bit_granular_truncation_fuzz(rng):
     """Byte prefixes chosen to land inside every plane phase (LIP test,
     LIP sign, LIS cascade, refinement) — the hybrid decoder's parallel
@@ -171,6 +172,7 @@ def test_device_decoder_bit_granular_truncation_fuzz(rng):
         np.testing.assert_array_equal(got, want, err_msg=f"nb={nb}")
 
 
+@pytest.mark.slow
 def test_device_decoder_odd_ll_duplicate_parents_truncation(rng):
     """Odd LL dims overlap the parity offspring map: a cell can have up
     to 4 parents and enter LSP more than once. Decode must keep shared

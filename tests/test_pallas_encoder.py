@@ -18,7 +18,8 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("machine", ["hybrid", "seq", "compact"])
+@pytest.mark.parametrize("machine",
+                         ["hybrid", "seq", "compact", "compact_hbm"])
 @pytest.mark.parametrize(
     "shape,ll",
     [
@@ -40,7 +41,8 @@ def test_pallas_encoder_full_stream(rng, shape, ll, machine):
     assert got == want
 
 
-@pytest.mark.parametrize("machine", ["hybrid", "seq", "compact"])
+@pytest.mark.parametrize("machine",
+                         ["hybrid", "seq", "compact", "compact_hbm"])
 @pytest.mark.parametrize(
     "shape,ll",
     [

@@ -113,6 +113,7 @@ def test_fused_decode_pipeline_pallas_matches_xla(monkeypatch):
     np.testing.assert_array_equal(ip, ix)
 
 
+@pytest.mark.slow
 def test_batched_pallas_machines_and_pipelines_match_singles():
     """The lax.map batch compositions (pallas_encode_batch,
     pallas_decode_batch, encode/decode_pipeline_batch_fn with the

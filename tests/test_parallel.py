@@ -28,6 +28,7 @@ def _mesh(dp, sp):
 @pytest.mark.parametrize(
     "wavelet,mode,sp", [("bior2.2", "reflect", 2), ("bior6.8", "symmetric", 8)]
 )
+@pytest.mark.slow
 def test_sharded_level1_exact(rng, wavelet, mode, sp):
     mesh = _mesh(1, sp)
     # shard width must be >= filter length (18 for bior6.8)
@@ -42,6 +43,7 @@ def test_sharded_level1_exact(rng, wavelet, mode, sp):
 
 
 @pytest.mark.parametrize("level", [3])
+@pytest.mark.slow
 def test_sharded_wavedec2_packed_exact(rng, level):
     mesh = _mesh(1, 4)
     x = rng.standard_normal((3, 48, 96))
@@ -53,6 +55,7 @@ def test_sharded_wavedec2_packed_exact(rng, level):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow
 def test_sharded_batched_leading_dims(rng):
     mesh = _mesh(2, 4)
     x = rng.standard_normal((2, 3, 32, 64))
@@ -105,6 +108,7 @@ def test_encode_image_sharded_matches_single_device(rng):
     assert rec.shape[-2] >= 48
 
 
+@pytest.mark.slow
 def test_sharded_wavedec2_wide_image(rng):
     """Config-5 shape: a wide image over 8 shards, multilevel, exact."""
     mesh = _mesh(1, 8)
@@ -231,6 +235,7 @@ def test_encode_image_sharded_odd_width(rng):
     assert er_sh.max_n == er.max_n
 
 
+@pytest.mark.slow
 def test_replication_discrepancy_and_checkify(rng):
     """Sanitizer utilities (SURVEY §6): replication assert + checkify."""
     import jax.numpy as jnp

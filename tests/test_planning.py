@@ -49,6 +49,7 @@ def test_planned_counts_match_oracle(rng, shape, ll):
     _check(arr, *ll)
 
 
+@pytest.mark.slow
 def test_planned_counts_random_geometries():
     rng = np.random.default_rng(31337)
     for _ in range(8):

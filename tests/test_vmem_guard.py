@@ -139,6 +139,58 @@ def test_encode_routes_compact_between_budgets(rng, monkeypatch):
         pallas_encoder.pallas_encode(arr_big, lh, lw, interpret=True)
 
 
+def test_encode_routes_t1_hbm_below_compact_budget(rng, monkeypatch):
+    """With the budget squeezed below even the compact machine's state,
+    pallas_encode must route to the HBM-combo-table machine (round-5
+    4096^2-class admission) and stay bit-exact — incl. odd LL.
+    (Geometry large enough that the table exceeds the 4-row DMA
+    scratch, else t1_hbm saves nothing.)"""
+    c, h, w, lh, lw = 1, 39, 39, 5, 5
+    cap_words = pallas_encoder._cap_words_for(c, h, w, 2**31 - 2)
+    hbm_state = pallas_encoder.machine_vmem_bytes(
+        c, h, w, lh, lw, cap_words, compact=True, t1_hbm=True
+    )
+    compact_state = pallas_encoder.machine_vmem_bytes(
+        c, h, w, lh, lw, cap_words, compact=True
+    )
+    assert hbm_state < compact_state
+    monkeypatch.setattr(pallas_encoder, "_VMEM_BUDGET_BYTES", hbm_state)
+    monkeypatch.setattr(
+        pallas_encoder, "_hybrid_fn", pallas_encoder._hybrid_fn.__wrapped__
+    )
+    assert pallas_encoder.preferred_machine(
+        c, h, w, lh, lw, cap_words, 9
+    ) == "compact_hbm"
+    nat = runtime.load()
+    arr = (rng.standard_normal((c, h, w)) * 900).astype(np.int32)
+    want, wmn = nat.encode(arr, lh, lw, 2**31 - 2)
+    got, gmn = pallas_encoder.pallas_encode(arr, lh, lw, interpret=True)
+    assert gmn == wmn and got == want
+    # outside the compact domain (max_n > 15) nothing fits: loud refuse
+    arr_big = arr.copy()
+    arr_big[0, 0, 0] = 1 << 17
+    with pytest.raises(pallas_encoder.MachineResourceLimit):
+        pallas_encoder.pallas_encode(arr_big, lh, lw, interpret=True)
+
+
+def test_t1_hbm_admits_4096_class_budgeted():
+    """The closed-form guard admits 4096^2-class coefficients on the
+    HBM-table machine at production budgets and still answers fast."""
+    c, h, w, lh, lw = 3, 4243, 4243, 18, 18
+    mb = int(0.25 * 4096 * 4096)
+    cw = pallas_encoder._cap_words_for(c, h, w, mb)
+    assert not pallas_encoder.machine_fits(c, h, w, lh, lw, cw,
+                                           compact=True)
+    assert pallas_encoder.machine_fits(c, h, w, lh, lw, cw,
+                                       compact=True, t1_hbm=True)
+    assert pallas_encoder.preferred_machine(
+        c, h, w, lh, lw, cw, 12
+    ) == "compact_hbm"
+    # t1_hbm is a compact-only mode
+    assert not pallas_encoder.machine_fits(c, h, w, lh, lw, cw,
+                                           t1_hbm=True)
+
+
 def test_routers_fall_back_when_over_budget(rng, monkeypatch):
     """With the budget forced to zero the device routers must produce
     bit-exact results through the XLA fallbacks even with the Pallas
