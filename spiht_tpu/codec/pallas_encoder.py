@@ -99,8 +99,8 @@ def machine_vmem_bytes(
     ls_rows = _rows(max(qb.n_lis0, 1))
     n_tables = 1 if compact else 3
     # t1_hbm (compact only): the combo table stays HBM-resident and the
-    # fire body DMAs 2-row windows into a 4-row scratch — the N-sized
-    # term leaves VMEM entirely (spike_hbm_table.py round-5 data)
+    # fire body DMAs one row per child into a 4-row scratch — the
+    # N-sized term leaves VMEM entirely (spike_hbm_table.py round-5)
     table_rows = 4 if t1_hbm else n_tables * _rows(N)
     return 4 * LANES * (
         table_rows + _rows(lip_cap) + 2 * _rows(lis_cap)
@@ -598,11 +598,10 @@ def _hybrid_fn(
     2048^2-class geometries fit VMEM at bounded bit budgets.
 
     T1_HBM mode (``t1_hbm=True``, compact only): the combo table stays
-    HBM-RESIDENT; the fire body DMAs the two 2-row windows covering the
-    4 children (rows of c0 and c0+w, both copies in flight together —
-    `pltpu.make_async_copy`) into a 4-row VMEM scratch and extracts
-    each child's word from the window. All other state (queues, words)
-    keeps its monotone-window VMEM access. Removes the 4N-byte table
+    HBM-RESIDENT; the fire body issues one single-row DMA per child
+    (4 copies in flight together — `pltpu.make_async_copy`) into a
+    4-row VMEM scratch and extracts each child's word by lane. All
+    other state (queues, words) keeps its monotone-window VMEM access. Removes the 4N-byte table
     from VMEM, admitting 4096^2-class geometries at bounded budgets
     (tools/spike_hbm_table.py: ~1 us per dependent DMA access, flat to
     256 MB tables — BASELINE.md round 5).
@@ -619,10 +618,6 @@ def _hybrid_fn(
         raise ValueError("compact machine packs cix in 3 bits (c <= 8)")
     if t1_hbm and not compact:
         raise ValueError("t1_hbm is a compact-machine mode")
-    if t1_hbm and _rows(c * h * w) < 2:
-        # the 2-row DMA windows need a >=2-row table; geometries this
-        # small always fit the VMEM machine
-        raise ValueError("t1_hbm needs a >= 2-row combo table")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
     # budget-narrowed capacities (safe for any <= cap_words*32-bit
@@ -1003,49 +998,38 @@ def _hybrid_fn(
                     csum = jnp.zeros((), _I32)
                     isumk = jnp.zeros((), _I32)
                     if t1_hbm:
-                        # HBM combo table: fetch the two 2-row windows
-                        # covering children {c0, c0+1} and
-                        # {c0+w, c0+w+1}; both DMAs in flight together
-                        # (dependent-access latency measured ~1 us,
-                        # spike_hbm_table.py). Real fires never clip
-                        # (children of an hc node are in-bounds); the
-                        # clipped rows only serve inert lanes.
-                        r0a = jnp.clip(
-                            jnp.clip(c0, 0, N - 1) // LANES,
-                            0, T_ROWS - 2,
-                        )
-                        r0b = jnp.clip(
-                            jnp.clip(c0 + w, 0, N - 1) // LANES,
-                            0, T_ROWS - 2,
-                        )
-                        cp_a = pltpu.make_async_copy(
-                            t1_ref.at[pl.ds(r0a, 2), :],
-                            tsc_ref.at[pl.ds(0, 2), :],
-                            tsem_ref.at[0],
-                        )
-                        cp_b = pltpu.make_async_copy(
-                            t1_ref.at[pl.ds(r0b, 2), :],
-                            tsc_ref.at[pl.ds(2, 2), :],
-                            tsem_ref.at[1],
-                        )
-                        cp_a.start()
-                        cp_b.start()
-                        cp_a.wait()
-                        cp_b.wait()
+                        # HBM combo table: one single-row DMA per child
+                        # (the exact shape spike_hbm_table.py validated
+                        # at 2^26-entry tables on this chip), all four
+                        # in flight together — dependent-access latency
+                        # ~1 us hides across the copies. Real fires
+                        # never clip (children of an hc node are
+                        # in-bounds); clipped rows only serve inert
+                        # lanes.
+                        t1_rows = [
+                            jnp.clip(c0 + child_off[k], 0, N - 1)
+                            // LANES
+                            for k in range(4)
+                        ]
+                        t1_cps = [
+                            pltpu.make_async_copy(
+                                t1_ref.at[pl.ds(t1_rows[k], 1), :],
+                                tsc_ref.at[pl.ds(k, 1), :],
+                                tsem_ref.at[k],
+                            )
+                            for k in range(4)
+                        ]
+                        for cp in t1_cps:
+                            cp.start()
+                        for cp in t1_cps:
+                            cp.wait()
                     for k in range(4):
                         ch = jnp.clip(c0 + child_off[k], 0, N - 1)
                         if compact:
                             if t1_hbm:
-                                base = r0a if k < 2 else r0b
-                                srow = 0 if k < 2 else 2
-                                idx = jnp.clip(
-                                    ch - base * LANES, 0, 2 * LANES - 1
-                                )
                                 cc = ext(
-                                    tsc_ref[
-                                        pl.ds(srow + idx // LANES, 1), :
-                                    ],
-                                    idx % LANES,
+                                    tsc_ref[pl.ds(k, 1), :],
+                                    ch % LANES,
                                 )
                             else:
                                 cc = rd(t1_ref, ch, N)
@@ -1215,7 +1199,7 @@ def _hybrid_fn(
             pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
             pltpu.VMEM((LSP_ROWS, LANES), jnp.int32),
             *([pltpu.VMEM((4, LANES), jnp.int32),
-               pltpu.SemaphoreType.DMA((2,))] if t1_hbm else []),
+               pltpu.SemaphoreType.DMA((4,))] if t1_hbm else []),
         ],
         interpret=interpret,
         **params,

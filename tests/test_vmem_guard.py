@@ -175,8 +175,10 @@ def test_encode_routes_t1_hbm_below_compact_budget(rng, monkeypatch):
 
 def test_t1_hbm_admits_4096_class_budgeted():
     """The closed-form guard admits 4096^2-class coefficients on the
-    HBM-table machine at production budgets and still answers fast."""
-    c, h, w, lh, lw = 3, 4243, 4243, 18, 18
+    HBM-table machine at production budgets and still answers fast.
+    (3x4121x4121 / ll 68x68 is the real 4096^2 L6 RGB geometry —
+    hardware-validated bit-exact at 0.25 bpp, BASELINE.md round 5.)"""
+    c, h, w, lh, lw = 3, 4121, 4121, 68, 68
     mb = int(0.25 * 4096 * 4096)
     cw = pallas_encoder._cap_words_for(c, h, w, mb)
     assert not pallas_encoder.machine_fits(c, h, w, lh, lw, cw,
