@@ -962,12 +962,22 @@ def decode_device(
     if _use_pallas_machine(c, h, w):
         from .pallas_decoder import machine_fits, pallas_decode_fn
 
-        if machine_fits(c, h, w, ll_h, ll_w, cap_words):
+        # routing tiers: all-VMEM hybrid; else the HBM-geometry-table
+        # hybrid (4096^2-class admission, round 5); else XLA fallback
+        machine = None
+        if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
+            machine = (
+                "hybrid_hbm"
+                if machine_fits(c, h, w, ll_h, ll_w, cap_words,
+                                geo_hbm=True)
+                else ""
+            )
+        if machine != "":
             # max_n <= 13 bounds |rec| < 2^14: ship int16 over the wire
             # (halves d2h, value-identical) and upcast host-side
             od = "int16" if int(n) <= 13 else "int32"
             fn = pallas_decode_fn(c, h, w, ll_h, ll_w, cap_words,
-                                  out_dtype=od)
+                                  machine=machine, out_dtype=od)
             rec = np.asarray(
                 fn(_words_of(data, cap_words), nbits, int(n))
             )
@@ -987,7 +997,7 @@ def _use_pallas_machine(c: int, h: int, w: int) -> bool:
     flag = os.environ.get("SPIHT_TPU_PALLAS_DECODER")
     if flag is not None:
         return flag == "1"
-    if c * h * w >= 1 << 24:
+    if c * h * w >= 1 << 26:  # hybrid lspn packing bound (round 5)
         return False
     try:
         import jax

@@ -72,16 +72,20 @@ _VMEM_BUDGET_BYTES = 128 << 20
 
 
 def machine_vmem_bytes(
-    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    geo_hbm: bool = False,
 ) -> int:
     """VMEM bytes the decode machine that will actually run requests:
     duplicate-parent geometries use the sequential machine (rec-array
     in VMEM, full queue capacities); everything else uses the hybrid
     machine, whose queues are budget-narrowed by cap_words (see
     ``_narrowed_caps``) — which is what admits 2048^2-class geometries
-    at bounded bit budgets.  Closed-form — no geometry tables are
-    materialized (tree_bounds.queue_bounds), so routing answers in
-    microseconds at any size."""
+    at bounded bit budgets.  ``geo_hbm`` (hybrid only) keeps the
+    N-sized geometry table HBM-resident with a per-fire single-row DMA
+    (the round-5 encoder t1_hbm pattern) — 4096^2-class admission.
+    Closed-form — no geometry tables are materialized
+    (tree_bounds.queue_bounds), so routing answers in microseconds at
+    any size."""
     qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
     li_rows = _rows(max(qb.n_lip0, 1))
@@ -95,20 +99,32 @@ def machine_vmem_bytes(
             + _rows(cap_words) + li_rows + ls_rows + 256
         )
     lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
+    geo_rows = 1 if geo_hbm else _rows(N)
     return 4 * LANES * (
-        _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap) + _rows(N)
+        _rows(lip_cap) + _rows(lis_cap) + 2 * _rows(lsp_cap) + geo_rows
         + _rows(cap_words) + li_rows + ls_rows + 256
     )
 
 
 def machine_fits(
-    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int
+    c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
+    geo_hbm: bool = False,
 ) -> bool:
-    """Whether the decode bit machine's state fits the VMEM budget."""
-    if c * h * w >= 1 << 24:  # packed-entry representation bound
+    """Whether the decode bit machine's state fits the VMEM budget.
+
+    Per-machine packed-entry bounds: duplicate-parent geometries run
+    the sequential machine (2^24 entries); duplicate-free ones run the
+    hybrid machine, whose internal lspn packing (node | sgn << 26)
+    is exact to 2^26 cells (round 5 — the geo word packs child0 << 2,
+    good to 2^29)."""
+    N = c * h * w
+    if queue_bounds(c, h, w, ll_h, ll_w).has_duplicate_parents:
+        if geo_hbm or N >= 1 << 24:
+            return False
+    elif N >= 1 << 26:
         return False
     return (
-        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words)
+        machine_vmem_bytes(c, h, w, ll_h, ll_w, cap_words, geo_hbm)
         <= _VMEM_BUDGET_BYTES
     )
 
@@ -145,8 +161,10 @@ def pallas_decode_fn(
 
     machine: 'hybrid' (stream-run-skipping parse + vector refinement +
     deferred rec materialization; requires a duplicate-free parent map,
-    else falls back) or 'seq' (one queue entry per iteration).
-    SPIHT_TPU_PALLAS_DEC_MACHINE overrides the default.
+    else falls back), 'hybrid_hbm' (the hybrid with the geometry table
+    HBM-resident — 4096^2-class admission, round 5), or 'seq' (one
+    queue entry per iteration).  SPIHT_TPU_PALLAS_DEC_MACHINE
+    overrides the default.
 
     out_dtype: 'int32' (default) or 'int16'. Decoded coefficients are
     bounded by 2^(max_n+1), so for max_n <= 13 an int16 rec array is
@@ -156,9 +174,11 @@ def pallas_decode_fn(
     """
     if machine is None:
         machine = os.environ.get("SPIHT_TPU_PALLAS_DEC_MACHINE", "hybrid")
-    if machine == "hybrid" and not _has_duplicate_parents(h, w, ll_h, ll_w):
+    if machine in ("hybrid", "hybrid_hbm") and not _has_duplicate_parents(
+        h, w, ll_h, ll_w
+    ):
         return _hybrid_fn(c, h, w, ll_h, ll_w, cap_words, interpret,
-                          out_dtype)
+                          out_dtype, geo_hbm=(machine == "hybrid_hbm"))
     return _seq_fn(c, h, w, ll_h, ll_w, cap_words, interpret, out_dtype)
 
 
@@ -518,6 +538,7 @@ def _hybrid_fn(
     interpret: bool = False,
     out_dtype: str = "int32",
     with_log: bool = False,
+    geo_hbm: bool = False,
 ):
     """Hybrid vector/sequential decode machine (production for
     duplicate-free geometries).
@@ -560,7 +581,11 @@ def _hybrid_fn(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if c * h * w >= 1 << 24:
+    # internal packings (round 5): geo = (child0 << 2) | hc << 1 | hg
+    # (exact to 2^29 cells), lspn = node | sgn << 26 (exact to 2^26).
+    # The PUBLIC event-log word keeps its 24-bit node contract, so
+    # with_log stays bounded at 2^24.
+    if c * h * w >= (1 << 24 if with_log else 1 << 26):
         raise ValueError("geometry too large for packed queue entries")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
@@ -575,9 +600,9 @@ def _hybrid_fn(
     LOG_ROWS = _rows(cap_words * 32 + 1) if with_log else 0
 
     geo_np = (
-        np.asarray(g["child0"], np.int64)
-        | (np.asarray(g["has_child"], np.int64) << 24)
-        | (np.asarray(g["hg"], np.int64) << 25)
+        (np.asarray(g["child0"], np.int64) << 2)
+        | (np.asarray(g["has_child"], np.int64) << 1)
+        | np.asarray(g["hg"], np.int64)
     ).astype(np.int32)
     GEO_ROWS = _rows(N)
     geo2d = jnp.asarray(_pad2d(geo_np, GEO_ROWS, np.int32))
@@ -592,7 +617,8 @@ def _hybrid_fn(
     lisi2d = jnp.asarray(_pad2d(lis0, LS_ROWS, np.int32))
 
     vmem_bytes = 4 * LANES * (
-        LIP_ROWS + LIS_ROWS + 2 * LSP_ROWS + GEO_ROWS + W_ROWS
+        LIP_ROWS + LIS_ROWS + 2 * LSP_ROWS
+        + (1 if geo_hbm else GEO_ROWS) + W_ROWS
         + LOG_ROWS + LI_ROWS + LS_ROWS + 256
     )
 
@@ -604,11 +630,14 @@ def _hybrid_fn(
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
     def kernel(words_ref, geo_ref, lipi_ref, lisi_ref, sc_ref,
                lspn_ref, lspm_ref, stat_ref, *rest):
+        gsc_ref = gsem_ref = None
         if with_log:
-            log_ref, lip_ref, lis_ref = rest
+            log_ref, lip_ref, lis_ref = rest[:3]
         else:
-            lip_ref, lis_ref = rest
+            lip_ref, lis_ref = rest[:2]
             log_ref = None
+        if geo_hbm:
+            gsc_ref, gsem_ref = rest[-2:]
         nbits = sc_ref[0]
         max_n = sc_ref[1]
         lanes = jax.lax.broadcasted_iota(_I32, (1, LANES), 1)
@@ -887,11 +916,12 @@ def _hybrid_fn(
                             | jnp.where(m1, a1, 0),
                             m0 | m1, cur,
                         )
-                    # LSP appends, in entry order
+                    # LSP appends, in entry order (sign at bit 26:
+                    # node field exact to 2^26 cells)
                     scatter_rows(
                         lsp_cnt,
                         [
-                            (lspn_ref, LSP_ROWS, row | (sgn_e << 24)),
+                            (lspn_ref, LSP_ROWS, row | (sgn_e << 26)),
                             (lspm_ref, LSP_ROWS,
                              bv + jnp.zeros((1, LANES), _I32)),
                         ],
@@ -1052,10 +1082,27 @@ def _hybrid_fn(
                         e = ext(erow, cpos_f)
                         node = jnp.clip(e >> 1, 0, N - 1)
                         is_a = (e & 1) == 1
-                        gw = rd(geo_ref, node, N)
-                        hc = ((gw >> 24) & 1) == 1
-                        hgf = ((gw >> 25) & 1) == 1
-                        c0 = gw & 0xFFFFFF
+                        if geo_hbm:
+                            # HBM geometry table: one single-row DMA
+                            # per fire (the round-5 encoder t1_hbm
+                            # pattern; ~1 us dependent-access latency,
+                            # spike_hbm_table.py)
+                            pltpu.make_async_copy(
+                                geo_ref.at[pl.ds(node // LANES, 1), :],
+                                gsc_ref, gsem_ref,
+                            ).start()
+                            pltpu.make_async_copy(
+                                geo_ref.at[pl.ds(node // LANES, 1), :],
+                                gsc_ref, gsem_ref,
+                            ).wait()
+                            gw = ext(gsc_ref[:], node % LANES)
+                        else:
+                            gw = rd(geo_ref, node, N)
+                        hc = ((gw >> 1) & 1) == 1
+                        hgf = (gw & 1) == 1
+                        c0 = jax.lax.shift_right_logical(
+                            gw, jnp.asarray(2, gw.dtype)
+                        )
                         a_fired = is_a & hit
                         run_children = a_fired & hc
                         koff = jnp.ones((), _I32)
@@ -1095,7 +1142,7 @@ def _hybrid_fn(
                             commit = bt & oks
                             lsp_sl.append(
                                 (csum, commit,
-                                 ch | (jnp.where(bs, 1, 0) << 24))
+                                 ch | (jnp.where(bs, 1, 0) << 26))
                             )
                             csum = csum + commit.astype(_I32)
                             insig = okt & ~bt
@@ -1238,9 +1285,13 @@ def _hybrid_fn(
 
     params = {}
     if not interpret:
+        # geo_hbm frees the N-table from VMEM; its remaining state may
+        # use more of the 128 MB chip VMEM than the all-resident
+        # machines' 110 MB ceiling
+        cap_mb = 121 if geo_hbm else 110
         params["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                max(vmem_bytes + (8 << 20), 24 << 20), 110 << 20
+                max(vmem_bytes + (8 << 20), 24 << 20), cap_mb << 20
             )
         )
 
@@ -1265,7 +1316,11 @@ def _hybrid_fn(
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # words
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # geo
+            pl.BlockSpec(                           # geo
+                memory_space=(
+                    pltpu.MemorySpace.HBM if geo_hbm else pltpu.VMEM
+                )
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
@@ -1274,6 +1329,8 @@ def _hybrid_fn(
         scratch_shapes=[
             pltpu.VMEM((LIP_ROWS, LANES), jnp.int32),
             pltpu.VMEM((LIS_ROWS, LANES), jnp.int32),
+            *([pltpu.VMEM((1, LANES), jnp.int32),
+               pltpu.SemaphoreType.DMA(())] if geo_hbm else []),
         ],
         interpret=interpret,
         **params,
@@ -1293,8 +1350,8 @@ def _hybrid_fn(
         outs = call(words2d, geo2d, lipi2d, lisi2d, sc)
         lspn, lspm, stat = outs[0], outs[1], outs[2]
         cnt = stat[0, 0]
-        nodes = (lspn & 0xFFFFFF).reshape(-1)
-        sgn = ((lspn >> 24) & 1).reshape(-1)
+        nodes = (lspn & ((1 << 26) - 1)).reshape(-1)
+        sgn = ((lspn >> 26) & 1).reshape(-1)
         mags = lspm.reshape(-1)
         idx = jnp.arange(LSP_ROWS * LANES, dtype=_I32)
         live = idx < cnt

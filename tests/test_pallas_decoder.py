@@ -95,6 +95,30 @@ def test_pallas_decoder_extreme_magnitudes(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "shape,ll",
+    [
+        ((3, 24, 32), (6, 8)),
+        ((2, 34, 18), (4, 2)),
+        ((1, 40, 40), (4, 4)),
+    ],
+)
+def test_pallas_decoder_hybrid_hbm(rng, shape, ll):
+    """The HBM-geometry-table hybrid (round-5 4096^2-class decode
+    admission) reconstructs bit-exactly, full stream and truncated."""
+    nat = runtime.load()
+    arr = (rng.standard_normal(shape) * 2000).astype(np.int32)
+    data, mn = _encode(arr, *ll)
+    for nb in (len(data), max(1, len(data) // 3)):
+        d = data[:nb]
+        want = nat.decode(d, mn, *shape, *ll)
+        cap = max((nb * 8 + 31) // 32, 1)
+        fn = pallas_decode_fn(*shape, *ll, cap, True,
+                              machine="hybrid_hbm")
+        got = np.asarray(fn(_words_of(d, cap), nb * 8, mn))
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("machine", ["hybrid", "seq"])
 def test_pallas_decoder_int16_shipping(rng, machine):
     """out_dtype='int16' (the narrowed d2h lane used when max_n <= 13)

@@ -61,9 +61,17 @@ def test_vmem_estimates_gate_by_geometry():
     assert not pallas_decoder.machine_fits(
         3, 2048, 2048, 16, 16, (3 * 2048 * 2048 * 40) // 32
     )
-    # the packed-entry representation bound short-circuits first
-    assert not pallas_encoder.machine_fits(1, 4096, 4096, 16, 16, 64)
-    assert not pallas_decoder.machine_fits(1, 4096, 4096, 16, 16, 64)
+    # packed-entry representation bounds (round 5: hybrid families
+    # lifted to 2^28 encode / 2^26 decode; 1x4096x4096 = 2^24 is now
+    # legitimately admitted at tiny budgets — hardware-validated past
+    # 2^24, BASELINE.md round 5)
+    assert pallas_encoder.machine_fits(1, 4096, 4096, 16, 16, 64,
+                                       compact=True)
+    assert pallas_decoder.machine_fits(1, 4096, 4096, 16, 16, 64)
+    assert not pallas_encoder.machine_fits(1, 16500, 16500, 16, 16, 64)
+    assert not pallas_decoder.machine_fits(
+        1, 8500, 8500, 16, 16, 64, geo_hbm=True
+    )
 
 
 def test_closed_form_bounds_match_table_dp():
@@ -191,6 +199,24 @@ def test_t1_hbm_admits_4096_class_budgeted():
     # t1_hbm is a compact-only mode
     assert not pallas_encoder.machine_fits(c, h, w, lh, lw, cw,
                                            t1_hbm=True)
+
+
+def test_decode_geo_hbm_admits_4096_class_budgeted():
+    """Decode twin of the t1_hbm admission: the HBM-geometry-table
+    hybrid admits the real 4096^2/L6 RGB geometry at bounded budgets;
+    duplicate-parent geometries never take the hbm route."""
+    c, h, w, lh, lw = 3, 4121, 4121, 68, 68
+    cw = (int(0.25 * 4096 * 4096) + 31) // 32
+    assert not pallas_decoder.machine_fits(c, h, w, lh, lw, cw)
+    assert pallas_decoder.machine_fits(c, h, w, lh, lw, cw,
+                                       geo_hbm=True)
+    # duplicate-parent geometry: stays off the hbm route entirely
+    assert not pallas_decoder.machine_fits(1, 19, 19, 5, 5, 64,
+                                           geo_hbm=True)
+    # over the hybrid's 2^26 lspn packing bound: refused either way
+    big = 8500
+    assert not pallas_decoder.machine_fits(3, big, big, 68, 68, cw,
+                                           geo_hbm=True)
 
 
 def test_routers_fall_back_when_over_budget(rng, monkeypatch):
