@@ -1085,6 +1085,11 @@ def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
         cw = max(max((len(d) * 8 + 31) // 32 for d in datas), 1)
         if machine_fits(c, h, w, ll_h, ll_w, cw):
             return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w)
+        if machine_fits(c, h, w, ll_h, ll_w, cw, geo_hbm=True):
+            # 4096^2-class tier (round 5): lax.map of hybrid_hbm
+            # machines (geometry table HBM-resident)
+            return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w,
+                                       machine="hybrid_hbm")
     cap_words = max(
         (max((len(d) for d in datas), default=1) + 3) // 4, 1
     )

@@ -257,11 +257,18 @@ def _decode_pipeline_jit(
 ):
     inv = _inverse_jit(key, h, w, level, dtype_name, as_uint8)
 
+    pallas_machine = None
     if machine == "pallas":
         from .codec.pallas_decoder import machine_fits
 
         if not machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words):
-            machine = "xla"  # state exceeds VMEM: XLA machine instead
+            # 4096^2-class tier: geometry table HBM-resident
+            # (round 5; valid at any max_n, so safe at trace time)
+            if machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words,
+                            geo_hbm=True):
+                pallas_machine = "hybrid_hbm"
+            else:
+                machine = "xla"  # exceeds VMEM: XLA machine instead
     if machine == "pallas":
         from .codec.pallas_decoder import pallas_decode_fn
 
@@ -269,6 +276,7 @@ def _decode_pipeline_jit(
         dec = pallas_decode_fn(
             c, enc_h, enc_w, ll_h, ll_w, cap_words,
             interpret=jax.default_backend() == "cpu",
+            machine=pallas_machine,
         )
     else:
         from .codec.device_decoder import _build_hybrid
