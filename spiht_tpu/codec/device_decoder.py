@@ -963,13 +963,15 @@ def decode_device(
         from .pallas_decoder import machine_fits, pallas_decode_fn
 
         # routing tiers: all-VMEM hybrid; else the HBM-geometry-table
-        # hybrid (4096^2-class admission, round 5); else XLA fallback
+        # hybrid (4096^2-class admission, round 5;
+        # SPIHT_TPU_DISABLE_HBM_MACHINES=1 opts out); else XLA fallback
         machine = None
         if not machine_fits(c, h, w, ll_h, ll_w, cap_words):
             machine = (
                 "hybrid_hbm"
-                if machine_fits(c, h, w, ll_h, ll_w, cap_words,
-                                geo_hbm=True)
+                if os.environ.get("SPIHT_TPU_DISABLE_HBM_MACHINES") != "1"
+                and machine_fits(c, h, w, ll_h, ll_w, cap_words,
+                                 geo_hbm=True)
                 else ""
             )
         if machine != "":
@@ -1085,7 +1087,10 @@ def decode_device_batch(datas, ns, c, h, w, ll_h, ll_w):
         cw = max(max((len(d) * 8 + 31) // 32 for d in datas), 1)
         if machine_fits(c, h, w, ll_h, ll_w, cw):
             return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w)
-        if machine_fits(c, h, w, ll_h, ll_w, cw, geo_hbm=True):
+        if os.environ.get(
+            "SPIHT_TPU_DISABLE_HBM_MACHINES"
+        ) != "1" and machine_fits(c, h, w, ll_h, ll_w, cw,
+                                  geo_hbm=True):
             # 4096^2-class tier (round 5): lax.map of hybrid_hbm
             # machines (geometry table HBM-resident)
             return pallas_decode_batch(datas, ns, c, h, w, ll_h, ll_w,

@@ -166,11 +166,17 @@ def preferred_machine(
     if hybrid_ok:
         return "hybrid"
     # last resort before the XLA fallback: the combo table moves to HBM
-    # (per-fire 2-row DMA windows; spike_hbm_table.py measured ~1 us
-    # per dependent access, flat to 256 MB) — admits 4096^2-class
-    # geometries at bounded budgets
-    if max_n <= 15 and machine_fits(
-        c, h, w, ll_h, ll_w, cap_words, compact=True, t1_hbm=True
+    # (per-fire single-row DMAs; spike_hbm_table.py measured ~1 us per
+    # dependent access, flat to 256 MB) — admits 4096^2-class
+    # geometries at bounded budgets. SPIHT_TPU_DISABLE_HBM_MACHINES=1
+    # opts out (escape hatch for the one recorded geometry anomaly,
+    # BASELINE.md round 5).
+    if (
+        max_n <= 15
+        and os.environ.get("SPIHT_TPU_DISABLE_HBM_MACHINES") != "1"
+        and machine_fits(
+            c, h, w, ll_h, ll_w, cap_words, compact=True, t1_hbm=True
+        )
     ):
         return "compact_hbm"
     raise MachineResourceLimit(f"{c}x{h}x{w}")

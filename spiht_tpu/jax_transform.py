@@ -263,9 +263,13 @@ def _decode_pipeline_jit(
 
         if not machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words):
             # 4096^2-class tier: geometry table HBM-resident
-            # (round 5; valid at any max_n, so safe at trace time)
-            if machine_fits(c, enc_h, enc_w, ll_h, ll_w, cap_words,
-                            geo_hbm=True):
+            # (round 5; valid at any max_n, so safe at trace time;
+            # SPIHT_TPU_DISABLE_HBM_MACHINES=1 opts out)
+            if os.environ.get(
+                "SPIHT_TPU_DISABLE_HBM_MACHINES"
+            ) != "1" and machine_fits(
+                c, enc_h, enc_w, ll_h, ll_w, cap_words, geo_hbm=True
+            ):
                 pallas_machine = "hybrid_hbm"
             else:
                 machine = "xla"  # exceeds VMEM: XLA machine instead

@@ -201,6 +201,25 @@ def test_t1_hbm_admits_4096_class_budgeted():
                                            t1_hbm=True)
 
 
+def test_hbm_machines_env_opt_out(rng, monkeypatch):
+    """SPIHT_TPU_DISABLE_HBM_MACHINES=1 drops the hbm tier from the
+    encode router (escape hatch for the recorded geometry anomaly,
+    BASELINE.md round 5): geometries only the hbm machine admits then
+    refuse loudly instead."""
+    c, h, w, lh, lw = 1, 39, 39, 5, 5
+    cap_words = pallas_encoder._cap_words_for(c, h, w, 2**31 - 2)
+    hbm_state = pallas_encoder.machine_vmem_bytes(
+        c, h, w, lh, lw, cap_words, compact=True, t1_hbm=True
+    )
+    monkeypatch.setattr(pallas_encoder, "_VMEM_BUDGET_BYTES", hbm_state)
+    assert pallas_encoder.preferred_machine(
+        c, h, w, lh, lw, cap_words, 9
+    ) == "compact_hbm"
+    monkeypatch.setenv("SPIHT_TPU_DISABLE_HBM_MACHINES", "1")
+    with pytest.raises(pallas_encoder.MachineResourceLimit):
+        pallas_encoder.preferred_machine(c, h, w, lh, lw, cap_words, 9)
+
+
 def test_decode_geo_hbm_admits_4096_class_budgeted():
     """Decode twin of the t1_hbm admission: the HBM-geometry-table
     hybrid admits the real 4096^2/L6 RGB geometry at bounded budgets;
