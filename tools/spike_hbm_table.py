@@ -125,11 +125,82 @@ def _hbm_ilv_kernel(K, B, x0_ref, table_ref, out_ref):
     )
 
 
+def _hbm_fire_kernel(K, B, W_OFF, x0_ref, table_ref, out_ref):
+    """The ILV-hbm FIRE-BODY model (round-5 roadmap data): per chain
+    per iteration, FOUR single-row DMAs — the rows of children
+    {x, x+1, x+W, x+W+1}, the shipped compact_hbm fetch shape — all
+    4*B copies in flight before any wait. The chain advances through
+    T[x] (dependent); the other three reads fold into a checksum so
+    they cannot be dead-code-eliminated."""
+
+    def scoped(scratch, sems):
+        def body(t, carry):
+            xs, acc = carry
+            lanes_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, LANES), 1
+            )
+            offs = (0, 1, W_OFF, W_OFF + 1)
+            cps = []
+            for b in range(B):
+                xb = jnp.sum(jnp.where(lanes_iota == b, xs, 0))
+                for k in range(4):
+                    idx = jnp.clip(
+                        xb + offs[k], 0,
+                        table_ref.shape[0] * LANES - 1,
+                    )
+                    cp = pltpu.make_async_copy(
+                        table_ref.at[pl.ds(idx // LANES, 1), :],
+                        scratch.at[pl.ds(4 * b + k, 1), :],
+                        sems.at[4 * b + k],
+                    )
+                    cp.start()
+                    cps.append(cp)
+            for cp in cps:
+                cp.wait()
+            new = jnp.zeros((1, LANES), jnp.int32)
+            for b in range(B):
+                xb = jnp.sum(jnp.where(lanes_iota == b, xs, 0))
+                got = _extract(
+                    scratch[pl.ds(4 * b, 1), :], xb % LANES
+                )
+                for k in range(1, 4):
+                    idx = jnp.clip(
+                        xb + offs[k], 0,
+                        table_ref.shape[0] * LANES - 1,
+                    )
+                    acc = acc + _extract(
+                        scratch[pl.ds(4 * b + k, 1), :], idx % LANES
+                    )
+                new = jnp.where(lanes_iota == b, got, new)
+            return (new, acc)
+
+        xs0 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < B,
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1),
+            0,
+        )
+        xs, acc = jax.lax.fori_loop(
+            0, K, body, (xs0, jnp.zeros((), jnp.int32))
+        )
+        out_ref[0, :] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < B,
+            xs, acc,
+        )[0, :]
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((4 * B, LANES), jnp.int32),
+        sems=pltpu.SemaphoreType.DMA((4 * B,)),
+    )
+
+
 def build(kind, rows, K, B=8):
     if kind == "vmem":
         kern = functools.partial(_vmem_kernel, K)
     elif kind == "hbm":
         kern = functools.partial(_hbm_kernel, K)
+    elif kind == "hbm_fire":
+        kern = functools.partial(_hbm_fire_kernel, K, B, 4243)
     else:  # hbm_ilv
         kern = functools.partial(_hbm_ilv_kernel, K, B)
     table_space = (
@@ -163,7 +234,7 @@ def measure(kind, n_log2, K=50_000, reps=5, B=8):
     first = time.perf_counter() - t0
     # correctness: K steps of each chain on the host
     flat = perm.reshape(-1)
-    n_chains = B if kind == "hbm_ilv" else 1
+    n_chains = B if kind in ("hbm_ilv", "hbm_fire") else 1
     for b in range(n_chains):
         x = b
         for _ in range(K):
@@ -175,9 +246,12 @@ def measure(kind, n_log2, K=50_000, reps=5, B=8):
         np.asarray(fn(x0, jt))
         ts.append(time.perf_counter() - t1)
     med = sorted(ts)[reps // 2]
-    accesses = K * n_chains
+    per_step = 4 if kind == "hbm_fire" else 1
+    accesses = K * n_chains * per_step
     ns = med / accesses * 1e9
-    label = f"{kind}" + (f"xB{B}" if kind == "hbm_ilv" else "")
+    label = f"{kind}" + (
+        f"xB{B}" if kind in ("hbm_ilv", "hbm_fire") else ""
+    )
     print(
         f"{label:10s} N=2^{n_log2} ({n*4/2**20:7.1f} MB): first "
         f"{first:5.1f}s, median {med*1e3:7.2f} ms for {accesses} "
@@ -206,6 +280,11 @@ def main():
     for B in (8, 16):
         res.append(measure("hbm_ilv", 25, B=B))
     res.append(measure("hbm_ilv", 26, B=16))
+    # the ILV-hbm FIRE-BODY model: 4 reads per chain per step (the
+    # shipped compact_hbm fetch shape), 4*B DMAs in flight — the
+    # roadmap datum for a B-chain interleaved HBM machine
+    for B in (4, 8, 16):
+        res.append(measure("hbm_fire", 25, K=20_000, B=B))
     print(json.dumps(res))
 
 
