@@ -1300,22 +1300,26 @@ def _narrowed_caps(g, cap_words: int):
 
 def interleaved_vmem_bytes(
     B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
-    compact: bool = False,
+    compact: bool = False, t1_hbm: bool = False,
 ) -> int:
     """Exact VMEM bytes the B-chain interleaved machine requests
     (per-chain tables/queues with budget-narrowed caps; the child0
     geometry table and LIS init entries are shared across chains).
     ``compact`` is the one-combo-table variant (max_n <= 15): one
     N-sized table per chain instead of two, and no shared geometry
-    table.  Closed-form, like ``machine_vmem_bytes``."""
+    table.  ``t1_hbm`` (compact only) keeps the stacked combo tables
+    HBM-resident with per-fire single-row DMAs into a 4-rows-per-chain
+    scratch (round 5) — 2048^2/4096^2-class BATCHED admission.
+    Closed-form, like ``machine_vmem_bytes``."""
     qb = queue_bounds(c, h, w, ll_h, ll_w)
     N = c * h * w
     lip_cap, lis_cap, lsp_cap = narrowed_caps(qb, cap_words)
     li_rows = _rows(max(qb.n_lip0, 1))
     ls_rows = _rows(max(qb.n_lis0, 1))
     n_tables = 1 if compact else 2
+    table_rows = 4 if t1_hbm else n_tables * _rows(N)
     per_chain = (
-        n_tables * _rows(N) + _rows(lip_cap) + 2 * _rows(lis_cap)
+        table_rows + _rows(lip_cap) + 2 * _rows(lis_cap)
         + _rows(lsp_cap) + _rows(cap_words) + li_rows + ls_rows
     )
     shared = (0 if compact else _rows(N)) + ls_rows + 256
@@ -1324,14 +1328,20 @@ def interleaved_vmem_bytes(
 
 def interleaved_fits(
     B: int, c: int, h: int, w: int, ll_h: int, ll_w: int, cap_words: int,
-    compact: bool = False,
+    compact: bool = False, t1_hbm: bool = False,
 ) -> bool:
-    if c * h * w >= 1 << 24:
+    # the ILV machines keep the 2^24 packed-entry guard EXCEPT the
+    # compact t1_hbm variant, which shares the hybrid family's 2^28
+    # entry format (hardware-validated past 2^24, BASELINE.md round 5)
+    if c * h * w >= (1 << 28 if (compact and t1_hbm) else 1 << 24):
         return False
     if compact and c > 8:
         return False
+    if t1_hbm and not compact:
+        return False
     return (
-        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words, compact)
+        interleaved_vmem_bytes(B, c, h, w, ll_h, ll_w, cap_words,
+                               compact, t1_hbm)
         <= _VMEM_BUDGET_BYTES
     )
 
@@ -1347,6 +1357,7 @@ def _interleaved_fn(
     cap_words: int,
     interpret: bool = False,
     compact: bool = False,
+    t1_hbm: bool = False,
 ):
     """B-chain INTERLEAVED hybrid emission machine: ONE kernel steps B
     independent machines per loop iteration (per-chain scalar carries +
@@ -1379,10 +1390,12 @@ def _interleaved_fn(
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if c * h * w >= 1 << 24:
+    if c * h * w >= (1 << 28 if (compact and t1_hbm) else 1 << 24):
         raise ValueError("geometry too large for packed queue entries")
     if compact and c > 8:
         raise ValueError("compact machine packs cix in 3 bits (c <= 8)")
+    if t1_hbm and not compact:
+        raise ValueError("t1_hbm is a compact-machine mode")
     g = _dec_geom(c, h, w, ll_h, ll_w)
     N = c * h * w
     LIP_CAP, LIS_CAP, LSP_CAP = _narrowed_caps(g, cap_words)
@@ -1430,7 +1443,8 @@ def _interleaved_fn(
     lis_nodes_j = jnp.asarray(lis_nodes_np.astype(np.int32))
 
     vmem_bytes = interleaved_vmem_bytes(
-        B, c, h, w, ll_h, ll_w, cap_words, compact=compact
+        B, c, h, w, ll_h, ll_w, cap_words, compact=compact,
+        t1_hbm=t1_hbm,
     )
 
     # LIS value-word field offsets (combo vs t1 layouts)
@@ -1443,7 +1457,13 @@ def _interleaved_fn(
     # 0 pos, 1 n, 2 lip_cnt, 3 lip_w, 4 lip_add, 5 lis_w, 6 lis_t,
     # 7 lsp_cnt, 8 lsp_snap, 9 cursor, 10 dead, 11 done
     def kernel(*refs):
-        if compact:
+        tsc_ref = tsem_ref = None
+        if compact and t1_hbm:
+            (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
+             sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
+             lsp_ref, tsc_ref, tsem_ref) = refs
+            t3s_ref = geo_ref = None
+        elif compact:
             (t1_ref, lipi_ref, lisi_ref, lisvi_ref,
              sc_ref, words_ref, stat_ref, lip_ref, lis_ref, lisv_ref,
              lsp_ref) = refs
@@ -1715,7 +1735,34 @@ def _interleaved_fn(
                  lsp_cnt, lsp_snap, lis_i, dead, done)
             return s, (erow, vrow, fired, vend, r)
 
-        def lis_fire_chain(b, s, ctx, cur):
+        def lis_fire_prefetch(b, s, ctx, cur):
+            """Phase 1 of a t1_hbm fire step: from chain b's OWN
+            (state, row ctx, cursor) — exactly the scalars
+            lis_fire_chain recomputes — derive the fired entry's child
+            rows and START its 4 single-row DMAs. Running phase 1 for
+            ALL chains before any phase 2 puts 4*B copies in flight
+            (spike_hbm_table.py hbm_fire: 188 ns/fire aggregate at
+            B=16)."""
+            erow, _vrow, fired, _vend, _r = ctx
+            cur_clip = cur
+            cand = jnp.where(fired & (lanes >= cur_clip), lanes, LANES)
+            f = jnp.min(cand)
+            ent = ext(erow, f)
+            c0 = ent >> 1  # compact entries carry child0 directly
+            tbase = b * T_ROWS
+            cps = []
+            for k in range(4):
+                ch = jnp.clip(c0 + child_off[k], 0, N - 1)
+                cp = pltpu.make_async_copy(
+                    t1_ref.at[pl.ds(tbase + ch // LANES, 1), :],
+                    tsc_ref.at[pl.ds(4 * b + k, 1), :],
+                    tsem_ref.at[4 * b + k],
+                )
+                cp.start()
+                cps.append(cp)
+            return cps
+
+        def lis_fire_chain(b, s, ctx, cur, cps=None):
             """One fired-entry step for chain b (the _hybrid_fn ibody),
             returns updated (s, cur)."""
             (pos, n, lip_cnt, lip_w, lip_add, lis_w, lis_t,
@@ -1754,10 +1801,21 @@ def _interleaved_fn(
             csum = jnp.zeros((), _I32)
             isumk = jnp.zeros((), _I32)
             tbase = b * T_ROWS
+            if t1_hbm:
+                # phase 2: the child rows were DMA'd by
+                # lis_fire_prefetch (identical f/c0 derivation)
+                for cp in cps:
+                    cp.wait()
             for k in range(4):
                 ch = jnp.clip(c0 + child_off[k], 0, N - 1)
                 if compact:
-                    cc = rd(t1_ref, tbase, ch, N)
+                    if t1_hbm:
+                        cc = ext(
+                            tsc_ref[pl.ds(4 * b + k, 1), :],
+                            ch % LANES,
+                        )
+                    else:
+                        cc = rd(t1_ref, tbase, ch, N)
                     ccs.append((ch, cc))
                     cmag = cc & 0xFFFF
                     cnneg = (
@@ -1892,9 +1950,17 @@ def _interleaved_fn(
                     sts, curs = t
                     sts = list(sts)
                     curs = list(curs)
+                    cps_all = [None] * B
+                    if t1_hbm:
+                        # start ALL chains' child-row DMAs before any
+                        # chain's fire body runs: 4*B copies in flight
+                        for b in range(B):
+                            cps_all[b] = lis_fire_prefetch(
+                                b, sts[b], rows[b], curs[b]
+                            )
                     for b in range(B):
                         sts[b], curs[b] = lis_fire_chain(
-                            b, sts[b], rows[b], curs[b]
+                            b, sts[b], rows[b], curs[b], cps_all[b]
                         )
                     return tuple(sts), tuple(curs)
 
@@ -1993,7 +2059,11 @@ def _interleaved_fn(
             jax.ShapeDtypeStruct((1, 2 * B), jnp.int32),
         ],
         in_specs=[
-            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tables),
+            # stacked T1 (HBM-resident in t1_hbm mode)
+            pl.BlockSpec(memory_space=(
+                pltpu.MemorySpace.HBM if t1_hbm else pltpu.VMEM
+            )),
+            *([pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_tables - 1)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lip init stacked
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis init (shared)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lis values stacked
@@ -2008,6 +2078,8 @@ def _interleaved_fn(
             pltpu.VMEM((B * LIS_ROWS, LANES), jnp.int32),
             pltpu.VMEM((B * LIS_ROWS, LANES), jnp.int32),
             pltpu.VMEM((B * LSP_ROWS, LANES), jnp.int32),
+            *([pltpu.VMEM((4 * B, LANES), jnp.int32),
+               pltpu.SemaphoreType.DMA((4 * B,))] if t1_hbm else []),
         ],
         interpret=interpret,
         **params,
@@ -2146,13 +2218,14 @@ def pallas_encode_batch(
         machine = os.environ.get("SPIHT_TPU_PALLAS_ENC_MACHINE", "hybrid")
     mns = np.array([compute_max_n(a) for a in arrs], np.int32)
 
-    def _fit_chunk(compact_flag):
+    def _fit_chunk(compact_flag, t1_hbm_flag=False):
         # largest halving chunk <= the requested B that fits VMEM
         # (halving keeps the compiled-kernel cache keys bounded)
         bc = min(_ilv_chunk_b(), B)
         while bc >= 1:
             if interleaved_fits(bc, c, h, w, ll_h, ll_w, cap_words,
-                                compact=compact_flag):
+                                compact=compact_flag,
+                                t1_hbm=t1_hbm_flag):
                 return bc
             bc //= 2
         return 0
@@ -2160,9 +2233,21 @@ def pallas_encode_batch(
     mn_ok = int(mns.max(initial=0)) <= 15
     bc_compact = _fit_chunk(True) if mn_ok else 0
     bc_std = _fit_chunk(False)
+    ilv_hbm = False
     if machine == "compact":
         use_ilv = mode != "map" and bc_compact > 0
         ilv_compact, bchunk = True, max(bc_compact, 1)
+    elif machine == "compact_hbm":
+        # explicit ILV-hbm selection (mode='ilv'): bit-exact and
+        # available, but on this dev tunnel batch calls are h2d-bound
+        # (~33 MB/s first-touch transfers) so no aggregate benefit
+        # over the host loop of singles was measurable
+        # (BASELINE.md round 5); the auto route below prefers the
+        # host loop
+        bc_hbm = (_fit_chunk(True, True) if mn_ok else 0)
+        use_ilv = mode == "ilv" and bc_hbm > 0
+        ilv_compact = ilv_hbm = True
+        bchunk = max(bc_hbm, 1)
     else:
         # the compact layout wins whenever it is valid (hardware at the
         # 512^2 headline, BASELINE.md round 4: 27.5 vs 21.7 MP/s
@@ -2173,6 +2258,41 @@ def pallas_encode_batch(
         )
         ilv_compact = bc_compact > 0
         bchunk = max(bc_compact if ilv_compact else bc_std, 1)
+        # 2048^2/4096^2-class BATCHED tier (round 5): no all-VMEM
+        # interleaved layout fits, but the single-image HBM-table
+        # machine does — run a HOST loop of the exact single-image
+        # compact_hbm dispatch (hardware-validated; kernel-side
+        # ~1.03 s/image at the real 4096^2/L6 geometry). The
+        # one-program alternatives: lax.map-wrapping the HBM-operand
+        # kernel crashed the TPU worker, and the ILV-hbm lockstep
+        # variant showed no measurable benefit under this tunnel's
+        # h2d-bound batch calls (BASELINE.md round 5).
+        # SPIHT_TPU_DISABLE_HBM_MACHINES=1 opts out.
+        if (
+            not use_ilv and mode != "ilv" and mn_ok
+            and os.environ.get("SPIHT_TPU_DISABLE_HBM_MACHINES") != "1"
+            and not machine_fits(c, h, w, ll_h, ll_w, cap_words)
+            and not machine_fits(c, h, w, ll_h, ll_w, cap_words,
+                                 compact=True)
+            and machine_fits(c, h, w, ll_h, ll_w, cap_words,
+                             compact=True, t1_hbm=True)
+        ):
+            sfn = pallas_encode_fn(c, h, w, ll_h, ll_w, cap_words,
+                                   interpret, "compact_hbm")
+            out = []
+            for b in range(B):
+                wds, tot, ov = sfn(
+                    jnp.asarray(arrs[b]), int(mns[b]), int(mbs[b])
+                )
+                if bool(ov):
+                    raise EncCapacityOverflow(int(tot))
+                t = int(tot)
+                out.append((
+                    np.asarray(wds).view(np.uint8)[: (t + 7) // 8]
+                    .tobytes(),
+                    int(mns[b]),
+                ))
+            return out
     if mode == "ilv" and not use_ilv:
         raise MachineResourceLimit(f"ilv {c}x{h}x{w}")
     if use_ilv:
@@ -2181,7 +2301,8 @@ def pallas_encode_batch(
             e = min(s + bchunk, B)
             fn = _interleaved_fn(e - s, c, h, w, ll_h, ll_w,
                                  cap_words, interpret,
-                                 compact=ilv_compact)
+                                 compact=ilv_compact,
+                                 t1_hbm=ilv_hbm)
             wds, tot, ov = fn(
                 jnp.asarray(arrs[s:e]), jnp.asarray(mns[s:e]),
                 jnp.asarray(mbs[s:e]),
@@ -2193,14 +2314,17 @@ def pallas_encode_batch(
         totals = np.concatenate(totals_l)
         ovf = np.concatenate(ovf_l)
     else:
-        if machine == "compact" and not mn_ok:
+        if machine in ("compact", "compact_hbm") and not mn_ok:
             # the compact layout packs magnitudes into 16-bit halves;
             # max_n > 15 would silently corrupt the stream
             raise MachineResourceLimit(
                 f"max_n={int(mns.max(initial=0))} > 15 (compact)"
             )
-        if not machine_fits(c, h, w, ll_h, ll_w, cap_words,
-                            compact=(machine == "compact")):
+        if not machine_fits(
+            c, h, w, ll_h, ll_w, cap_words,
+            compact=machine in ("compact", "compact_hbm"),
+            t1_hbm=(machine == "compact_hbm"),
+        ):
             raise MachineResourceLimit(f"{c}x{h}x{w}")
         fn = pallas_encode_batch_fn(c, h, w, ll_h, ll_w, cap_words,
                                     interpret, machine)

@@ -194,6 +194,48 @@ def test_interleaved_compact_requires_small_magnitudes(rng):
         os.environ.pop("SPIHT_TPU_PALLAS_ENC_BATCH", None)
 
 
+@pytest.mark.parametrize(
+    "B,shape,ll",
+    [
+        (3, (1, 24, 24), (6, 6)),
+        (2, (3, 19, 19), (5, 5)),   # odd LL: duplicate parents
+        (4, (2, 34, 18), (4, 2)),
+    ],
+)
+def test_interleaved_t1_hbm_exact(rng, B, shape, ll):
+    """The ILV machine with HBM-resident combo tables (round-5
+    2048^2/4096^2-class BATCHED tier): per-fire child-row DMAs started
+    for ALL chains before any fire body runs; bit-exact incl.
+    heterogeneous budgets and odd-LL geometries."""
+    import jax.numpy as jnp
+
+    from spiht_tpu.codec.oracle import compute_max_n
+    from spiht_tpu.codec.pallas_encoder import (
+        _cap_words_for, _interleaved_fn,
+    )
+
+    nat = runtime.load()
+    arrs = np.stack([
+        np.clip((rng.standard_normal(shape) * s).astype(np.int64),
+                -50000, 50000).astype(np.int32)
+        for s in [3000, 7, 900, 222][:B]
+    ])
+    mns = np.array([compute_max_n(a) for a in arrs], np.int32)
+    mbs = np.array([13, 2**31 - 2, 444, 999][:B], np.int32)
+    cw = _cap_words_for(*shape, int(mbs.max()))
+    fn = _interleaved_fn(B, *shape, *ll, cw, True, compact=True,
+                         t1_hbm=True)
+    wds, tot, ovf = fn(
+        jnp.asarray(arrs), jnp.asarray(mns), jnp.asarray(mbs)
+    )
+    wds, tot = np.asarray(wds), np.asarray(tot)
+    assert not np.asarray(ovf).any()
+    for b in range(B):
+        want, wmn = nat.encode(arrs[b], *ll, int(mbs[b]))
+        got = wds[b].view(np.uint8)[: (int(tot[b]) + 7) // 8].tobytes()
+        assert wmn == int(mns[b]) and got == want, b
+
+
 def test_interleaved_vmem_accounting():
     """The router only picks the interleaved machine when its exact
     state formula fits the budget."""

@@ -220,6 +220,39 @@ def test_hbm_machines_env_opt_out(rng, monkeypatch):
         pallas_encoder.preferred_machine(c, h, w, lh, lw, cap_words, 9)
 
 
+def test_encode_batch_routes_hbm_host_loop(rng, monkeypatch):
+    """When only the HBM-table machine admits the geometry, the BATCH
+    route runs the host loop of single compact_hbm dispatches
+    (round 5) and stays bit-exact per stream."""
+    c, h, w, lh, lw = 1, 39, 39, 5, 5
+    arrs = np.stack([
+        (rng.standard_normal((c, h, w)) * 700).astype(np.int32)
+        for _ in range(3)
+    ])
+    mbs = [97, 2**31 - 2, 512]
+    cap_words = pallas_encoder._cap_words_for(c, h, w, 2**31 - 2)
+    hbm_state = pallas_encoder.machine_vmem_bytes(
+        c, h, w, lh, lw, cap_words, compact=True, t1_hbm=True
+    )
+    monkeypatch.setattr(pallas_encoder, "_VMEM_BUDGET_BYTES", hbm_state)
+    monkeypatch.setattr(
+        pallas_encoder, "_hybrid_fn", pallas_encoder._hybrid_fn.__wrapped__
+    )
+    nat = runtime.load()
+    got = pallas_encoder.pallas_encode_batch(
+        arrs, lh, lw, mbs, interpret=True
+    )
+    for b in range(3):
+        want, wmn = nat.encode(arrs[b], lh, lw, min(mbs[b], 2**31 - 2))
+        assert got[b][1] == wmn and got[b][0] == want, b
+    # opt-out: with the hbm tier disabled nothing admits the geometry
+    monkeypatch.setenv("SPIHT_TPU_DISABLE_HBM_MACHINES", "1")
+    with pytest.raises(pallas_encoder.MachineResourceLimit):
+        pallas_encoder.pallas_encode_batch(
+            arrs, lh, lw, mbs, interpret=True
+        )
+
+
 def test_decode_geo_hbm_admits_4096_class_budgeted():
     """Decode twin of the t1_hbm admission: the HBM-geometry-table
     hybrid admits the real 4096^2/L6 RGB geometry at bounded budgets;
